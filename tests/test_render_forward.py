@@ -1,0 +1,93 @@
+"""End-to-end forward render vs the sequential NumPy oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from webdgs_tpu.config import RenderSettings
+from webdgs_tpu.core.camera import default_camera
+from webdgs_tpu.core.scene import scene_from_arrays
+from webdgs_tpu.ops import binning as binning_ops
+from webdgs_tpu.ops.projection import project_gaussians
+from webdgs_tpu.render.renderer import render
+
+from tests.reference_raster import render_reference
+
+
+def random_scene(n, seed=0, spread=1.0, sh_deg=0):
+    rng = np.random.default_rng(seed)
+    means = rng.normal(0, spread, (n, 3)).astype(np.float32)
+    quats = rng.normal(0, 1, (n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    log_scales = rng.uniform(-3.5, -1.5, (n, 3)).astype(np.float32)
+    opacity = rng.uniform(-1.0, 3.0, (n,)).astype(np.float32)
+    sh = rng.normal(0, 0.3, (n, 16, 3)).astype(np.float32)
+    sh[:, 0, :] += 0.8
+    return scene_from_arrays(means, quats, log_scales, opacity, sh,
+                             sh_deg=sh_deg)
+
+
+@pytest.mark.parametrize("n,size,sh_deg", [
+    (60, (64, 48), 0),
+    (200, (80, 64), 3),
+])
+def test_forward_matches_reference(n, size, sh_deg):
+    w, h = size
+    settings = RenderSettings(chunk=128)
+    scene = random_scene(n, seed=42, sh_deg=sh_deg)
+    cam = default_camera(w, h, position=(0.0, 0.0, -5.0))
+
+    res = jax.jit(
+        lambda s: render(s, cam, w, h, settings),
+    )(scene)
+
+    attrs, aux = project_gaussians(scene.params(), scene.alive, cam, w, h,
+                                   scene.sh_deg, settings)
+    bins = binning_ops.bin_splats(aux, w, h, settings)
+    ntx, nty = binning_ops.tile_grid(w, h, settings)
+    np_attrs = {k: np.asarray(v) for k, v in attrs._asdict().items()}
+    ref_img, ref_t, ref_nc = render_reference(
+        np_attrs, np.asarray(bins.entry_gauss),
+        np.asarray(bins.entry_valid), np.asarray(bins.tile_offsets),
+        ntx, nty, w, h,
+        settings.tile_w, settings.tile_h)
+
+    assert int(jnp.sum(aux.visible)) > 0, "test scene should be visible"
+    np.testing.assert_allclose(np.asarray(res.image), ref_img,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.t_final), ref_t,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res.n_contrib), ref_nc)
+
+
+def test_empty_scene_renders_background():
+    settings = RenderSettings(chunk=128, background=(0.2, 0.3, 0.4))
+    scene = random_scene(8)
+    scene = scene.replace(alive=jnp.zeros_like(scene.alive))
+    cam = default_camera(32, 32, position=(0.0, 0.0, -5.0))
+    res = render(scene, cam, 32, 32, settings)
+    np.testing.assert_allclose(
+        np.asarray(res.image),
+        np.broadcast_to(np.array([0.2, 0.3, 0.4], np.float32), (32, 32, 3)),
+        atol=1e-6)
+    assert np.all(np.asarray(res.t_final) == 1.0)
+
+
+def test_saturation_early_termination():
+    # stack many opaque splats at the same spot; n_contrib must stop growing
+    n = 64
+    rng = np.random.default_rng(1)
+    means = rng.normal(0, 0.01, (n, 3)).astype(np.float32)
+    scene = scene_from_arrays(
+        means,
+        opacity_logits=np.full((n,), 6.0, np.float32),  # sigmoid ~ 0.9975
+        log_scales=np.full((n, 3), -1.0, np.float32),
+        colors=np.full((n, 3), 0.9, np.float32))
+    settings = RenderSettings(chunk=128)
+    cam = default_camera(32, 32, position=(0.0, 0.0, -5.0))
+    res = render(scene, cam, 32, 32, settings)
+    nc = np.asarray(res.n_contrib)
+    center_nc = nc[16, 16]
+    assert 0 < center_nc < n, "early termination should cut the list short"
+    assert np.asarray(res.t_final)[16, 16] < 0.01

@@ -1,0 +1,76 @@
+"""Global runtime configuration.
+
+The reference keeps its render settings in a `RenderSettings` uniform
+(reference: src/shaders/common.wgsl:10-18, defaults at
+src/renderers/tiled-forward-pass.ts:174-182).  We mirror those defaults here
+as a frozen dataclass that is threaded through the render/train functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+
+import jax
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static render settings (shapes/behavior of the compiled pipeline).
+
+    Mirrors the reference's RenderSettings uniform defaults
+    (src/renderers/tiled-forward-pass.ts:174-182):
+      gaussian_scaling=1.0, point_size_px=3.0, gaussian_mode=1 ('gaussian'),
+      max_splat_radius_px=128.0; tile 16x16
+      (src/renderers/tiled-forward-pass.ts:18-19).
+    """
+
+    tile_w: int = 16
+    tile_h: int = 16
+    # Screen-space radius cap in pixels; <=0 disables (reference default 128).
+    max_splat_radius_px: float = 128.0
+    # Reference enforces <=2048 tiles touched per Gaussian
+    # (src/shaders/tiled-forward.wgsl:275).
+    max_tiles_per_gaussian: int = 2048
+    # Sizing heuristic for the padded tile-entry capacity: avg tiles/Gaussian
+    # (src/renderers/tiled-forward-pass.ts:137 uses 30).
+    avg_tiles_per_gaussian: int = 30
+    # Hard cap on tile entries, like the reference's 128MB key-buffer /
+    # prefix-sum limits (src/renderers/tiled-forward-pass.ts:147-152).
+    max_tile_entries: int = 2 ** 25  # 32M entries
+    # Background color composited behind the splats
+    # (src/shaders/tiled-rasterizer.wgsl:58: black).
+    background: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # Splats per chunk processed by the rasterizer kernel (MXU K dimension).
+    chunk: int = 256
+    # Early-termination transmittance threshold. The reference skips a splat
+    # once accumulated alpha exceeds 0.99 (tiled-rasterizer.wgsl:224), i.e.
+    # T < 0.01.
+    t_threshold: float = 0.01
+    # Minimum alpha for a splat to contribute; the reference uses 1/255 for
+    # contributor tracking and backward skipping
+    # (tiled-rasterizer.wgsl:238, tiled-backward-rasterize.wgsl:116).
+    alpha_min: float = 1.0 / 255.0
+    # Alpha clamp (tiled-rasterizer.wgsl:233).
+    alpha_max: float = 0.99
+
+    @property
+    def tile_px(self) -> int:
+        return self.tile_w * self.tile_h
+
+
+DEFAULT_SETTINGS = RenderSettings()
+
+
+@functools.cache
+def use_interpret_mode() -> bool:
+    """Whether Pallas kernels should run in interpreter mode.
+
+    TPU backends compile the kernels; CPU (tests, virtual-device meshes) runs
+    them interpreted.  Override with WEBDGS_INTERPRET=0/1.
+    """
+    env = os.environ.get("WEBDGS_INTERPRET")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() != "tpu"

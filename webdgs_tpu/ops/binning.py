@@ -1,0 +1,179 @@
+"""Tile binning: expand Gaussians into per-tile entries and depth-sort them.
+
+The reference implements this as five GPU passes: count_main -> Blelloch
+prefix scan -> update_stats -> emit_main -> a 519-line decoupled-lookback
+radix sort, plus an atomicMin tile-ranges kernel
+(src/shaders/tiled-forward.wgsl:296-354, src/prefix/prefix_sum.wgsl,
+src/sort/radix_sort.wgsl, src/shaders/tile-ranges.wgsl).
+
+On TPU the stage is a short chain of XLA-native ops with static shapes,
+designed so *nothing O(entries) is ever binary-searched or scattered*:
+
+* the ragged expansion (each visible Gaussian emits ``num_tiles`` entries)
+  is ``jnp.repeat(..., total_repeat_length)`` — a cumsum under the hood —
+  followed by ONE row-gather of the packed per-Gaussian binning fields;
+* entries carry the reference's exact 32-bit sort key
+  ``(tile_id << 16) | (ordered_depth >> 16)`` (tiled-forward.wgsl:121-136)
+  and are sorted by one ``jax.lax.sort`` with an index payload;
+* the rasterizer wants every tile's entry range chunk-aligned (DMA slices in
+  the lane dimension must be 128-aligned).  Instead of re-laying-out after
+  the sort, we *inject alignment-padding entries before the sort*: per-tile
+  occupancy comes from a corner-scatter 2D prefix-sum over the Gaussians'
+  tile rects (an O(N) histogram, not O(E)), each tile gets
+  ``(-count) % chunk`` padding entries whose depth key is the maximal
+  0xFFFF (real depths clamp to 0xFFFE), so padding sorts to the end of its
+  tile's range and every range length — hence every range start — is a
+  chunk multiple by construction.  Tile offsets are then just a cumsum over
+  tiles.
+
+Entries beyond the static capacity are dropped whole-Gaussian, mirroring the
+reference's maxTileEntries budget (src/renderers/tiled-forward-pass.ts:
+137-158; the reference drops the overflow tail via out-of-bounds writes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from webdgs_tpu.config import RenderSettings
+from webdgs_tpu.ops.projection import SplatAux
+
+
+def tile_grid(img_w: int, img_h: int,
+              settings: RenderSettings) -> tuple[int, int]:
+    """Static tile-grid dimensions for an image size."""
+    return -(-img_w // settings.tile_w), -(-img_h // settings.tile_h)
+
+
+class Binning(NamedTuple):
+    entry_gauss: jax.Array  # (A,) i32 — gaussian index per sorted entry slot
+    entry_valid: jax.Array  # (A,) bool — alignment/overflow padding is False
+    tile_offsets: jax.Array  # (T+1,) i32 — chunk-aligned entry ranges
+    tile_counts: jax.Array  # (T,) i32 — real (unpadded) entries per tile
+    total_entries: jax.Array  # () i32 — real entries across all tiles
+
+    @property
+    def capacity(self) -> int:
+        return self.entry_gauss.shape[0]
+
+
+def entry_capacity(n: int, settings: RenderSettings) -> int:
+    """Static tile-entry capacity, like the reference's maxTileEntries sizing
+    (tiled-forward-pass.ts:137-158)."""
+    est = min(max(n, 1) * settings.avg_tiles_per_gaussian,
+              settings.max_tile_entries)
+    chunk = settings.chunk
+    return max(-(-est // chunk) * chunk, chunk)
+
+
+def aligned_capacity(n: int, total_tiles: int, settings: RenderSettings,
+                     capacity: int | None = None) -> int:
+    e_cap = capacity if capacity is not None else entry_capacity(n, settings)
+    # worst case: every tile needs one partial chunk of padding
+    return e_cap + total_tiles * settings.chunk
+
+
+def _ordered_depth16(depth: jax.Array) -> jax.Array:
+    """f32 view-space depth -> monotonic u32 -> top 16 bits, as the
+    reference quantizes sort depths (tiled-forward.wgsl:121-130).  Clamped to
+    0xFFFE so the 0xFFFF slot is reserved for alignment padding."""
+    bits = jax.lax.bitcast_convert_type(depth, jnp.uint32)
+    mask = jnp.where((bits >> 31) != 0, jnp.uint32(0xFFFFFFFF),
+                     jnp.uint32(0x80000000))
+    ordered = bits ^ mask
+    return jnp.minimum(ordered >> 16, jnp.uint32(0xFFFE))
+
+
+def _tile_histogram(aux: SplatAux, keep: jax.Array, ntx: int, nty: int):
+    """Per-tile entry counts via +-1 corner scatter over each Gaussian's tile
+    rect and a 2D inclusive prefix sum — O(N) work for an O(E) histogram."""
+    x0 = aux.tile_min[:, 0]
+    y0 = aux.tile_min[:, 1]
+    x1 = x0 + aux.tile_dims[:, 0]  # exclusive
+    y1 = y0 + aux.tile_dims[:, 1]
+    one = jnp.where(keep, jnp.int32(1), jnp.int32(0))
+    grid = jnp.zeros((nty + 1, ntx + 1), jnp.int32)
+    grid = grid.at[y0, x0].add(one)
+    grid = grid.at[y1, x1].add(one)
+    grid = grid.at[y0, x1].add(-one)
+    grid = grid.at[y1, x0].add(-one)
+    grid = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)
+    return grid[:nty, :ntx].reshape(-1)  # (T,)
+
+
+def bin_splats(aux: SplatAux, img_w: int, img_h: int,
+               settings: RenderSettings,
+               capacity: int | None = None) -> Binning:
+    n = aux.num_tiles.shape[0]
+    e_cap = capacity if capacity is not None else entry_capacity(n, settings)
+    chunk = settings.chunk
+    ntx, nty = tile_grid(img_w, img_h, settings)
+    total_tiles = ntx * nty
+    pad_cap = total_tiles * chunk
+
+    # --- budget: drop whole Gaussians that would overflow the capacity ---
+    counts0 = aux.num_tiles
+    keep = jnp.cumsum(counts0) <= e_cap
+    counts = jnp.where(keep, counts0, 0)
+    cum_incl = jnp.cumsum(counts)
+    offsets = cum_incl - counts
+    total = cum_incl[-1]
+
+    # --- ragged expansion: entry -> gaussian, then one row-gather of the
+    # packed per-Gaussian binning fields ---
+    g = jnp.repeat(jnp.arange(n, dtype=jnp.int32), counts,
+                   total_repeat_length=e_cap)
+    fields = jnp.stack([
+        offsets,
+        aux.tile_min[:, 0],
+        aux.tile_min[:, 1],
+        aux.tile_dims[:, 0],
+        _ordered_depth16(aux.depth).astype(jnp.int32),
+    ], axis=1)  # (N, 5)
+    ef = fields[g]  # (E, 5)
+
+    e_idx = jnp.arange(e_cap, dtype=jnp.int32)
+    valid = e_idx < total
+    slot = e_idx - ef[:, 0]
+    tx = ef[:, 1] + slot % ef[:, 3]
+    ty = ef[:, 2] + slot // ef[:, 3]
+    tile = (ty * ntx + tx).astype(jnp.uint32)
+    # the reference's combined key (tiled-forward.wgsl:133-136), without its
+    # +1 tile bias: invalid entries get the all-ones key and sort last
+    key = jnp.where(valid, (tile << 16) | ef[:, 4].astype(jnp.uint32),
+                    jnp.uint32(0xFFFFFFFF))
+
+    # --- alignment padding: per-tile depth-0xFFFF entries so each tile's
+    # range length (and therefore start) is a chunk multiple ---
+    tile_counts = _tile_histogram(aux, keep, ntx, nty)
+    n_pad = (-tile_counts) % chunk
+    pad_tile = jnp.repeat(jnp.arange(total_tiles, dtype=jnp.int32), n_pad,
+                          total_repeat_length=pad_cap)
+    pad_used = jnp.arange(pad_cap, dtype=jnp.int32) < jnp.sum(n_pad)
+    pad_key = jnp.where(
+        pad_used, (pad_tile.astype(jnp.uint32) << 16) | jnp.uint32(0xFFFF),
+        jnp.uint32(0xFFFFFFFF))
+
+    all_keys = jnp.concatenate([key, pad_key])
+    all_gauss = jnp.concatenate([g, jnp.zeros((pad_cap,), jnp.int32)])
+    sorted_key, sorted_gauss = jax.lax.sort((all_keys, all_gauss),
+                                            num_keys=1)
+    sorted_valid = (sorted_key & jnp.uint32(0xFFFF)) != jnp.uint32(0xFFFF)
+
+    # aligned ranges are now a plain cumsum over tiles
+    aligned_counts = tile_counts + n_pad
+    tile_offsets = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(aligned_counts).astype(jnp.int32),
+    ])
+
+    return Binning(
+        entry_gauss=sorted_gauss,
+        entry_valid=sorted_valid,
+        tile_offsets=tile_offsets,
+        tile_counts=tile_counts,
+        total_entries=total,
+    )

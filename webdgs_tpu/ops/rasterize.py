@@ -1,0 +1,417 @@
+"""Tiled alpha-compositing rasterizer — Pallas TPU forward/backward kernels.
+
+This replaces the reference's per-pixel sequential loops
+(src/shaders/tiled-rasterizer.wgsl:82-273 forward,
+src/shaders/tiled-backward-rasterize.wgsl:34-172 backward) with a dense
+formulation that maps onto the TPU's vector/matrix units.
+
+Key identity — *saturation as thresholding*: the reference skips a splat for
+a pixel once accumulated alpha exceeds 0.99 (tiled-rasterizer.wgsl:224),
+i.e. once transmittance T < 0.01.  Because T is monotonically
+non-increasing along the depth-sorted splat list, the sequentially-gated
+loop is exactly equivalent to
+
+    T_j   = prod_{k<j} (1 - a_k)          (ungated, exclusive)
+    incl_j = [T_j >= 0.01]                 (a prefix property)
+    C      = sum_j c_j * a_j * T_j * incl_j
+
+so compositing becomes a *cumulative sum of log(1-a) along the splat axis*
+plus elementwise math — fully parallel over (pixel, splat) pairs.  Within a
+chunk of K splats the exclusive prefix is computed either by a strictly
+triangular (K,K) matmul on the MXU or by a Hillis–Steele lane scan.
+
+The backward pass needs no back-to-front replay (the reference recovers T by
+division and reconstructs a running suffix, tiled-backward-rasterize.wgsl:
+121-141): with suffix_j = total - inclusive-prefix_j,
+
+    dL/da_j = gamma_j * T_j - (U_tot - U_prefix_j + g_T * T_final) / (1-a_j)
+
+where gamma_j = sum_ch g_ch c_{j,ch} (one small matmul) and U = gamma * w
+accumulates forward.  All per-splat gradient reductions over pixels are MXU
+contractions or sublane reductions; per-Gaussian accumulation happens
+outside the kernel through the transpose of the entry gather (a
+deterministic XLA scatter-add — the reference quantizes gradients to 1e-6
+fixed-point atomics instead, common.wgsl:110-121).
+
+Alpha semantics (kept consistent between forward and backward, unlike the
+reference whose forward accumulates alphas below 1/255 that its backward
+then skips):
+  * alpha = min(0.99, opacity * exp(-0.5 * conic quad form))
+            (tiled-rasterizer.wgsl:228-233)
+  * pixels outside the splat's SnugBox extents are skipped
+    (tiled-rasterizer.wgsl:208)
+  * alpha < 1/255 contributes nothing (tiled-backward-rasterize.wgsl:116)
+  * n_contrib = 1-based index of the last contributing splat in the tile
+    (tiled-rasterizer.wgsl:238-240)
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from webdgs_tpu.config import RenderSettings, use_interpret_mode
+
+# attribute-row layout of the packed per-entry splat array (16, E)
+ROW_CX, ROW_CY = 0, 1
+ROW_CA, ROW_CB, ROW_CC = 2, 3, 4
+ROW_R, ROW_G, ROW_B = 5, 6, 7
+ROW_OP = 8
+ROW_EX, ROW_EY = 9, 10
+NUM_ROWS = 16
+
+# output-channel layout of the per-tile pixel buffer (T, P, 8)
+OUT_R, OUT_G, OUT_B = 0, 1, 2
+OUT_ACC_ALPHA = 3
+OUT_T = 4
+OUT_NCONTRIB = 5
+NUM_OUT = 8
+
+
+def _chunk_alpha(scr, pxf, pyf, settings: RenderSettings):
+    """Per-(pixel, splat) alpha for one chunk.
+
+    Returns (alpha (P,K), gaussian weight G (P,K), dx, dy).
+    """
+    cx = scr[ROW_CX:ROW_CX + 1, :]
+    cy = scr[ROW_CY:ROW_CY + 1, :]
+    ca = scr[ROW_CA:ROW_CA + 1, :]
+    cb = scr[ROW_CB:ROW_CB + 1, :]
+    cc = scr[ROW_CC:ROW_CC + 1, :]
+    op = scr[ROW_OP:ROW_OP + 1, :]
+    ex = scr[ROW_EX:ROW_EX + 1, :]
+    ey = scr[ROW_EY:ROW_EY + 1, :]
+
+    dx = pxf - cx  # (P, K)
+    dy = pyf - cy
+    power = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+    g = jnp.exp(-0.5 * power)
+    alpha = jnp.minimum(op * g, settings.alpha_max)
+    in_ext = (jnp.abs(dx) <= ex) & (jnp.abs(dy) <= ey)
+    keep = in_ext & (alpha >= settings.alpha_min)
+    alpha = jnp.where(keep, alpha, 0.0)
+    return alpha, g, dx, dy
+
+
+def _tri_masks(k: int):
+    """Strict / inclusive upper-triangular (K,K) 0/1 matrices for prefix
+    sums along the splat axis: (P,K) @ (K,K) on the MXU."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    strict = (row < col).astype(jnp.float32)
+    incl = (row <= col).astype(jnp.float32)
+    return strict, incl
+
+
+def _prefix_mm(x, tri):
+    return jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _pixel_coords(t, ntx, settings: RenderSettings):
+    """Pixel-center coordinates of tile t as (P,1) columns."""
+    p = settings.tile_px
+    tx = t % ntx
+    ty = t // ntx
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    pxf = (tx * settings.tile_w + pix % settings.tile_w).astype(jnp.float32) + 0.5
+    pyf = (ty * settings.tile_h + pix // settings.tile_w).astype(jnp.float32) + 0.5
+    return pxf, pyf
+
+
+def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
+                ntx: int, settings: RenderSettings):
+    p = settings.tile_px
+    k = settings.chunk
+    t = pl.program_id(0)
+    start = offsets_ref[t]
+    nch = (offsets_ref[t + 1] - start) // k
+    log_t_min = math.log(settings.t_threshold)
+
+    pxf, pyf = _pixel_coords(t, ntx, settings)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    tri_strict, _ = _tri_masks(k)
+
+    def body(carry):
+        c, log_t_un, log_t_gated, acc, nmax = carry
+        base = pl.multiple_of(start + c * k, k)
+        cp = pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(base, k)], scr, sem)
+        cp.start()
+        cp.wait()
+
+        alpha, _, _, _ = _chunk_alpha(scr[:], pxf, pyf, settings)
+        alog = jnp.log1p(-alpha)
+        t_excl = jnp.exp(_prefix_mm(alog, tri_strict) + log_t_un)
+        incl = (t_excl >= settings.t_threshold).astype(jnp.float32)
+        w = alpha * t_excl * incl  # (P, K)
+
+        c4 = jnp.concatenate(
+            [scr[ROW_R:ROW_B + 1, :], jnp.ones((1, k), jnp.float32)], axis=0)
+        acc = acc + jax.lax.dot_general(
+            w, c4, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (P, 4)
+
+        log_t_un = log_t_un + jnp.sum(alog, axis=1, keepdims=True)
+        log_t_gated = log_t_gated + jnp.sum(alog * incl, axis=1, keepdims=True)
+
+        pos = (c * k + lane + 1).astype(jnp.float32)
+        contrib = (alpha > 0.0) & (incl > 0.0)
+        nmax = jnp.maximum(
+            nmax, jnp.max(jnp.where(contrib, pos, 0.0), axis=1, keepdims=True))
+        return c + 1, log_t_un, log_t_gated, acc, nmax
+
+    def cond(carry):
+        c, log_t_un, *_ = carry
+        return (c < nch) & (jnp.max(log_t_un) >= log_t_min)
+
+    zero_p1 = jnp.zeros((p, 1), jnp.float32)
+    init = (jnp.int32(0), zero_p1, zero_p1, jnp.zeros((p, 4), jnp.float32),
+            zero_p1)
+    _, _, log_t_gated, acc, nmax = jax.lax.while_loop(cond, body, init)
+
+    out_ref[0, :, 0:4] = acc
+    out_ref[0, :, OUT_T:OUT_T + 1] = jnp.exp(log_t_gated)
+    out_ref[0, :, OUT_NCONTRIB:OUT_NCONTRIB + 1] = nmax
+    out_ref[0, :, 6:8] = jnp.zeros((p, 2), jnp.float32)
+
+
+def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
+                scr, dscr, sem, dsem, *, ntx: int, settings: RenderSettings):
+    p = settings.tile_px
+    k = settings.chunk
+    t = pl.program_id(0)
+    start = offsets_ref[t]
+    nch = (offsets_ref[t + 1] - start) // k
+
+    pxf, pyf = _pixel_coords(t, ntx, settings)
+    tri_strict, tri_incl = _tri_masks(k)
+
+    g4 = gpix_ref[0, :, 0:4]  # cotangents for (r, g, b, acc_alpha), (P, 4)
+    g_t = gpix_ref[0, :, OUT_T:OUT_T + 1]  # (P, 1)
+    t_final = fwd_out_ref[0, :, OUT_T:OUT_T + 1]
+    # U_tot = sum_k gamma4_k w_k over the whole tile = <g4, acc_outputs>.
+    u_tot = jnp.sum(g4 * fwd_out_ref[0, :, 0:4], axis=1, keepdims=True)
+    # the dT_final/da_j = -T_final/(1-a_j) term folds into the suffix
+    suffix_extra = u_tot + g_t * t_final  # (P, 1)
+
+    def body(c, carry):
+        log_t_un, cum_u = carry
+        base = pl.multiple_of(start + c * k, k)
+        cp = pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(base, k)], scr, sem)
+        cp.start()
+        cp.wait()
+
+        alpha, g, dx, dy = _chunk_alpha(scr[:], pxf, pyf, settings)
+        alog = jnp.log1p(-alpha)
+        t_excl = jnp.exp(_prefix_mm(alog, tri_strict) + log_t_un)
+        incl = (t_excl >= settings.t_threshold).astype(jnp.float32)
+        live = (alpha > 0.0).astype(jnp.float32) * incl
+        w = alpha * t_excl * incl
+
+        c4 = jnp.concatenate(
+            [scr[ROW_R:ROW_B + 1, :], jnp.ones((1, k), jnp.float32)], axis=0)
+        # gamma4[p, j] = sum_ch g4[p, ch] * c4[ch, j]
+        gamma4 = jax.lax.dot_general(
+            g4, c4, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (P, K)
+
+        u = gamma4 * w
+        u_prefix = cum_u + _prefix_mm(u, tri_incl)  # inclusive, (P, K)
+        one_m_a = 1.0 - alpha
+        dl_da = (gamma4 * t_excl
+                 - (suffix_extra - u_prefix) / one_m_a) * live
+
+        op = scr[ROW_OP:ROW_OP + 1, :]
+        unclamped = (op * g < settings.alpha_max).astype(jnp.float32)
+        dl_dg = dl_da * op * unclamped
+        d_op = jnp.sum(dl_da * g * unclamped, axis=0, keepdims=True)  # (1, K)
+
+        # d color: dL/dc[j,ch] = sum_p g_ch[p] * w[p,j]
+        d_col = jax.lax.dot_general(
+            gpix_ref[0, :, 0:3], w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (3, K)
+
+        ca = scr[ROW_CA:ROW_CA + 1, :]
+        cb = scr[ROW_CB:ROW_CB + 1, :]
+        cc = scr[ROW_CC:ROW_CC + 1, :]
+        q = dl_dg * (-0.5 * g)  # (P, K)
+        # power = ca dx^2 + 2 cb dx dy + cc dy^2; d(delta)/d(center) = -1
+        d_cx = -jnp.sum(q * (2.0 * ca * dx + 2.0 * cb * dy), axis=0,
+                        keepdims=True)
+        d_cy = -jnp.sum(q * (2.0 * cc * dy + 2.0 * cb * dx), axis=0,
+                        keepdims=True)
+        d_ca = jnp.sum(q * dx * dx, axis=0, keepdims=True)
+        d_cb = jnp.sum(q * 2.0 * dx * dy, axis=0, keepdims=True)
+        d_cc = jnp.sum(q * dy * dy, axis=0, keepdims=True)
+
+        dscr[ROW_CX:ROW_CX + 1, :] = d_cx
+        dscr[ROW_CY:ROW_CY + 1, :] = d_cy
+        dscr[ROW_CA:ROW_CA + 1, :] = d_ca
+        dscr[ROW_CB:ROW_CB + 1, :] = d_cb
+        dscr[ROW_CC:ROW_CC + 1, :] = d_cc
+        dscr[ROW_R:ROW_B + 1, :] = d_col
+        dscr[ROW_OP:ROW_OP + 1, :] = d_op
+        dscr[ROW_EX:NUM_ROWS, :] = jnp.zeros((NUM_ROWS - ROW_EX, k),
+                                             jnp.float32)
+
+        out_cp = pltpu.make_async_copy(
+            dscr, dout_ref.at[:, pl.ds(base, k)], dsem)
+        out_cp.start()
+        out_cp.wait()
+
+        log_t_un = log_t_un + jnp.sum(alog, axis=1, keepdims=True)
+        cum_u = cum_u + jnp.sum(u, axis=1, keepdims=True)
+        return log_t_un, cum_u
+
+    zero_p1 = jnp.zeros((p, 1), jnp.float32)
+    jax.lax.fori_loop(0, nch, body, (zero_p1, zero_p1))
+
+
+def _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
+                  settings: RenderSettings):
+    p = settings.tile_px
+    k = settings.chunk
+    n_tiles = num_tiles_x * num_tiles_y
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        # keep the packed entries in HBM: tile ranges start at arbitrary
+        # offsets, and only HBM (linear) refs can be sliced unaligned for DMA
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec((1, p, NUM_OUT), lambda i, offs: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NUM_ROWS, k), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(_fwd_kernel, ntx=num_tiles_x,
+                               settings=settings)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, p, NUM_OUT), jnp.float32),
+        interpret=use_interpret_mode(),
+    )(tile_offsets, attrs16)
+
+
+def _backward_impl(attrs16, tile_offsets, fwd_out, gpix, num_tiles_x,
+                   num_tiles_y, settings: RenderSettings):
+    p = settings.tile_px
+    k = settings.chunk
+    n_tiles = num_tiles_x * num_tiles_y
+    e_pad = attrs16.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((1, p, NUM_OUT), lambda i, offs: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, NUM_OUT), lambda i, offs: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((NUM_ROWS, k), jnp.float32),
+            pltpu.VMEM((NUM_ROWS, k), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel, ntx=num_tiles_x,
+                               settings=settings)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NUM_ROWS, e_pad), jnp.float32),
+        interpret=use_interpret_mode(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_offsets, attrs16, fwd_out, gpix)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def rasterize_tiles(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
+                    settings: RenderSettings):
+    """attrs16: (16, E + chunk) packed per-entry splat attributes in sorted
+    tile/depth order; tile_offsets: (T+1,) i32 entry ranges.
+
+    Returns (T, P, 8) per-tile pixel channels
+    [r, g, b, acc_alpha, T_final, n_contrib, 0, 0] *without* background.
+    """
+    return _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
+                         settings)
+
+
+def _rasterize_fwd(attrs16, tile_offsets, num_tiles_x, num_tiles_y, settings):
+    out = _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
+                        settings)
+    return out, (attrs16, tile_offsets, out)
+
+
+def _rasterize_bwd(num_tiles_x, num_tiles_y, settings, residuals, g):
+    attrs16, tile_offsets, fwd_out = residuals
+    d_attrs = _backward_impl(attrs16, tile_offsets, fwd_out, g,
+                             num_tiles_x, num_tiles_y, settings)
+    d_offsets = np.zeros(tile_offsets.shape, dtype=jax.dtypes.float0)
+    return d_attrs, d_offsets
+
+
+rasterize_tiles.defvjp(_rasterize_fwd, _rasterize_bwd)
+
+
+def pack_entry_attrs(attrs, entry_gauss, entry_valid,
+                     settings: RenderSettings):
+    """Gather per-Gaussian SplatAttrs into chunk-aligned, depth-sorted
+    per-entry rows (16, A).
+
+    One (N,16) row-major pack + ONE vectorized row gather (TPU gathers cost
+    the same for a 64B row as for a scalar) + transpose.  Invalid/padding
+    entries are zeroed everywhere — opacity 0 makes them exact no-ops in the
+    compositor, and the zero mask keeps their cotangents out of Gaussian 0's
+    gradients.  The gather is differentiable; its transpose is the
+    deterministic per-Gaussian scatter-add of entry gradients.
+    """
+    n = attrs.opacity.shape[0]
+    per_gauss = jnp.concatenate([
+        attrs.center_px,  # 2
+        attrs.conic,  # 3
+        attrs.color,  # 3
+        attrs.opacity[:, None],  # 1
+        attrs.extents,  # 2
+        jnp.zeros((n, NUM_ROWS - 11), jnp.float32),
+    ], axis=1)  # (N, 16); column order must match ROW_* constants
+    gathered = jnp.where(entry_valid[:, None], per_gauss[entry_gauss], 0.0)
+    return gathered.T  # (16, A)
+
+
+def tiles_to_image(out, num_tiles_x, num_tiles_y, img_w, img_h,
+                   settings: RenderSettings):
+    """(T, P, C) per-tile pixels -> (H, W, C) image crop."""
+    c = out.shape[-1]
+    img = out.reshape(num_tiles_y, num_tiles_x, settings.tile_h,
+                      settings.tile_w, c)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(
+        num_tiles_y * settings.tile_h, num_tiles_x * settings.tile_w, c)
+    return img[:img_h, :img_w]
+
+
+def image_to_tiles(img, num_tiles_x, num_tiles_y, settings: RenderSettings):
+    """(H, W, C) -> (T, P, C), zero-padding to the tile grid."""
+    h, w, c = img.shape
+    ph = num_tiles_y * settings.tile_h - h
+    pw = num_tiles_x * settings.tile_w - w
+    img = jnp.pad(img, ((0, ph), (0, pw), (0, 0)))
+    img = img.reshape(num_tiles_y, settings.tile_h, num_tiles_x,
+                      settings.tile_w, c)
+    return img.transpose(0, 2, 1, 3, 4).reshape(
+        num_tiles_y * num_tiles_x, settings.tile_px, c)
