@@ -362,6 +362,9 @@ def _rasterize_bwd(num_tiles_x, num_tiles_y, settings, residuals, g):
     attrs16, tile_offsets, fwd_out = residuals
     d_attrs = _backward_impl(attrs16, tile_offsets, fwd_out, g,
                              num_tiles_x, num_tiles_y, settings)
+    # entries beyond the last tile range are never written by the kernel
+    used = jnp.arange(attrs16.shape[1], dtype=jnp.int32) < tile_offsets[-1]
+    d_attrs = jnp.where(used[None, :], d_attrs, 0.0)
     d_offsets = np.zeros(tile_offsets.shape, dtype=jax.dtypes.float0)
     return d_attrs, d_offsets
 
