@@ -1,0 +1,96 @@
+"""Loss pixel-gradients and image metrics.
+
+The reference never computes a scalar loss — its loss kernel writes dL/dpixel
+directly (src/shaders/loss.wgsl:85-115):
+
+    grad = lambda_l1 * sign(pred - targ)
+         + lambda_l2 * (pred - targ)
+         + lambda_dssim * ((1 - ssim_map)/2) * (pred - targ)
+
+where ssim_map is a per-pixel 5x5 uniform-window SSIM with edge-clamped
+sampling (loss.wgsl:20-44) — note this "DSSIM gradient" is the reference's
+simplification, not the true derivative of DSSIM; we reproduce it exactly
+and feed it to the renderer VJP as the pixel cotangent.
+
+We additionally provide real scalar metrics (L1/L2/DSSIM/PSNR) for
+reporting, which the reference lacks entirely (SURVEY.md section 5: no
+PSNR/SSIM is ever computed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Defaults from src/trainer.ts:100-104 and
+    src/renderers/tiled-backward-pass.ts:168-174."""
+
+    lambda_l1: float = 0.8
+    lambda_l2: float = 0.0
+    lambda_dssim: float = 0.2
+    c1: float = 1e-4
+    c2: float = 9e-4
+
+
+def _window_mean(x: jax.Array, half: int = 2) -> jax.Array:
+    """5x5 uniform window mean with edge-replicated sampling, matching the
+    reference's clamped textureLoad (loss.wgsl:20-28)."""
+    pad = [(half, half), (half, half), (0, 0)]
+    xp = jnp.pad(x, pad, mode="edge")
+    win = 2 * half + 1
+    s = jax.lax.reduce_window(
+        xp, 0.0, jax.lax.add,
+        window_dimensions=(win, win, 1),
+        window_strides=(1, 1, 1),
+        padding="VALID")
+    return s / (win * win)
+
+
+def ssim_map(pred: jax.Array, target: jax.Array,
+             c1: float = 1e-4, c2: float = 9e-4) -> jax.Array:
+    """Per-pixel 5x5-window SSIM (loss.wgsl:30-72), per channel."""
+    mu_x = _window_mean(pred)
+    mu_y = _window_mean(target)
+    sigma_x2 = _window_mean(pred * pred) - mu_x * mu_x
+    sigma_y2 = _window_mean(target * target) - mu_y * mu_y
+    sigma_xy = _window_mean(pred * target) - mu_x * mu_y
+    num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    den = (mu_x * mu_x + mu_y * mu_y + c1) * (sigma_x2 + sigma_y2 + c2)
+    return num / den
+
+
+def pixel_loss_gradient(pred: jax.Array, target: jax.Array,
+                        cfg: LossConfig) -> jax.Array:
+    """dL/dpixel, (H, W, 3), with the reference's exact formulas."""
+    diff = pred - target
+    grad = cfg.lambda_l1 * jnp.sign(diff) + cfg.lambda_l2 * diff
+    if cfg.lambda_dssim > 0.0:
+        dssim = (1.0 - ssim_map(pred, target, cfg.c1, cfg.c2)) * 0.5
+        grad = grad + cfg.lambda_dssim * dssim * diff
+    return grad
+
+
+def loss_metrics(pred: jax.Array, target: jax.Array,
+                 cfg: LossConfig) -> dict[str, jax.Array]:
+    diff = pred - target
+    l1 = jnp.mean(jnp.abs(diff))
+    l2 = jnp.mean(diff * diff)
+    dssim = jnp.mean((1.0 - ssim_map(pred, target, cfg.c1, cfg.c2)) * 0.5)
+    total = cfg.lambda_l1 * l1 + cfg.lambda_l2 * l2 + cfg.lambda_dssim * dssim
+    return {
+        "l1": l1,
+        "l2": l2,
+        "dssim": dssim,
+        "loss": total,
+        "psnr": psnr(pred, target),
+    }
+
+
+def psnr(pred: jax.Array, target: jax.Array) -> jax.Array:
+    mse = jnp.mean(jnp.square(pred - target))
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))

@@ -1,0 +1,114 @@
+"""The jitted training step: forward render, loss cotangent, two-stage VJP,
+Adam update.
+
+Mirrors one iteration of the reference's ``Trainer.step()``
+(src/trainer.ts:568-660), which encodes forward + rasterize + loss +
+backward-rasterize + backward-geometry + adam + repack into ONE command
+buffer with zero readbacks — exactly the shape of one jitted TPU step.
+
+The gradient flow is split into two VJPs so the reference's quirky SH
+gradient routing can be reproduced: the rasterizer VJP yields per-Gaussian
+cotangents for (center_px, conic, color, opacity, extents) — the analogue of
+the reference's grad_means_2d/grad_conics/grad_colors/grad_opacity atomic
+buffers — and the projection VJP chains them to the 3D parameters
+(replacing the 304-line hand-derived src/shaders/tiled-backward.wgsl).
+
+Parity details handled here:
+  * SH DC gradient = raw dL/dcolor without the SH_C0 factor or clamp mask
+    (SURVEY.md Q2; adam.wgsl:160-174) unless ``adam.full_sh`` is set;
+  * the screen-radius-cap guard keeps only positive (shrinking) log-scale
+    gradients for radius-capped Gaussians (tiled-backward.wgsl:261-283);
+  * Adam visibility gating via per-Gaussian tile counts
+    (tiled-forward.wgsl:169,289; adam.wgsl:74-76).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from webdgs_tpu.config import DEFAULT_SETTINGS, RenderSettings
+from webdgs_tpu.core.camera import Camera
+from webdgs_tpu.core.scene import GaussianScene
+from webdgs_tpu.ops import binning as binning_ops
+from webdgs_tpu.ops import rasterize as raster_ops
+from webdgs_tpu.ops.adam import AdamHyperparameters, AdamState, adam_step
+from webdgs_tpu.ops.loss import (LossConfig, loss_metrics,
+                                 pixel_loss_gradient)
+from webdgs_tpu.ops.projection import project_gaussians
+from webdgs_tpu.render.renderer import render_from_attrs
+
+
+class TrainStepResult(NamedTuple):
+    scene: GaussianScene
+    opt_state: AdamState
+    metrics: dict[str, jax.Array]
+
+
+def compute_param_grads(scene: GaussianScene, camera: Camera,
+                        target: jax.Array, img_w: int, img_h: int,
+                        loss_cfg: LossConfig, settings: RenderSettings,
+                        parity_sh: bool, entry_capacity: int | None = None):
+    """Returns (image, param grads dict, aux)."""
+    params = scene.params()
+
+    def proj_fn(p):
+        attrs, aux = project_gaussians(p, scene.alive, camera, img_w, img_h,
+                                       scene.sh_deg, settings)
+        return attrs, aux
+
+    attrs, vjp_proj, aux = jax.vjp(proj_fn, params, has_aux=True)
+
+    ntx, nty = binning_ops.tile_grid(img_w, img_h, settings)
+    bg = jnp.asarray(settings.background, dtype=jnp.float32)
+
+    def img_fn(a):
+        out, _ = render_from_attrs(a, aux, img_w, img_h, settings,
+                                   entry_capacity)
+        tiles = raster_ops.tiles_to_image(out, ntx, nty, img_w, img_h,
+                                          settings)
+        image = tiles[..., 0:3] + bg * tiles[..., raster_ops.OUT_T:raster_ops.OUT_T + 1]
+        return image
+
+    image, vjp_raster = jax.vjp(img_fn, attrs)
+    pgrad = pixel_loss_gradient(image, target, loss_cfg)
+    (d_attrs,) = vjp_raster(pgrad)
+    (d_params,) = vjp_proj(d_attrs)
+
+    if parity_sh:
+        # Q2: route raw dL/dcolor straight into the DC coefficient
+        d_sh = jnp.zeros_like(params["sh"]).at[:, 0, :].set(d_attrs.color)
+        d_params = {**d_params, "sh": d_sh}
+
+    # screen-radius-cap guard (tiled-backward.wgsl:261-283): capped splats
+    # may only shrink
+    g_ls = d_params["log_scales"]
+    d_params = {**d_params, "log_scales": jnp.where(
+        aux.radius_capped[:, None], jnp.maximum(g_ls, 0.0), g_ls)}
+
+    return image, d_params, aux
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_w", "img_h", "loss_cfg", "hp", "settings",
+                     "entry_capacity"))
+def train_step(scene: GaussianScene, opt_state: AdamState, camera: Camera,
+               target: jax.Array, *, img_w: int, img_h: int,
+               loss_cfg: LossConfig = LossConfig(),
+               hp: AdamHyperparameters = AdamHyperparameters(),
+               settings: RenderSettings = DEFAULT_SETTINGS,
+               entry_capacity: int | None = None) -> TrainStepResult:
+    image, d_params, aux = compute_param_grads(
+        scene, camera, target, img_w, img_h, loss_cfg, settings,
+        parity_sh=not hp.full_sh, entry_capacity=entry_capacity)
+
+    new_params, new_opt = adam_step(scene.params(), d_params, opt_state, hp,
+                                    aux.num_tiles)
+    metrics = loss_metrics(image, target, loss_cfg)
+    metrics["visible"] = jnp.sum(aux.visible.astype(jnp.int32))
+    return TrainStepResult(scene=scene.with_params(new_params),
+                           opt_state=new_opt, metrics=metrics)
