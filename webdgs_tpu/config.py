@@ -33,9 +33,12 @@ class RenderSettings:
     # Reference enforces <=2048 tiles touched per Gaussian
     # (src/shaders/tiled-forward.wgsl:275).
     max_tiles_per_gaussian: int = 2048
-    # Sizing heuristic for the padded tile-entry capacity: avg tiles/Gaussian
-    # (src/renderers/tiled-forward-pass.ts:137 uses 30).
-    avg_tiles_per_gaussian: int = 30
+    # Sizing heuristic for the padded tile-entry capacity: avg tiles/Gaussian.
+    # The reference budgets 30 (src/renderers/tiled-forward-pass.ts:137); we
+    # default to 12 because every O(capacity) op (sort, gathers, kernels)
+    # pays for the padding, and trained scenes average well below this.
+    # Gaussians beyond the budget are dropped whole for that frame.
+    avg_tiles_per_gaussian: int = 12
     # Hard cap on tile entries, like the reference's 128MB key-buffer /
     # prefix-sum limits (src/renderers/tiled-forward-pass.ts:147-152).
     max_tile_entries: int = 2 ** 25  # 32M entries

@@ -190,6 +190,7 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
     t = pl.program_id(0)
     start = offsets_ref[t]
     nch = (offsets_ref[t + 1] - start) // k
+    log_t_min = math.log(settings.t_threshold)
 
     pxf, pyf = _pixel_coords(t, ntx, settings)
     tri_strict, tri_incl = _tri_masks(k)
@@ -202,8 +203,8 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
     # the dT_final/da_j = -T_final/(1-a_j) term folds into the suffix
     suffix_extra = u_tot + g_t * t_final  # (P, 1)
 
-    def body(c, carry):
-        log_t_un, cum_u = carry
+    def body(carry):
+        c, log_t_un, cum_u = carry
         base = pl.multiple_of(start + c * k, k)
         cp = pltpu.make_async_copy(
             attrs_ref.at[:, pl.ds(base, k)], scr, sem)
@@ -270,10 +271,28 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
 
         log_t_un = log_t_un + jnp.sum(alog, axis=1, keepdims=True)
         cum_u = cum_u + jnp.sum(u, axis=1, keepdims=True)
-        return log_t_un, cum_u
+        return c + 1, log_t_un, cum_u
+
+    def cond(carry):
+        c, log_t_un, _ = carry
+        return (c < nch) & (jnp.max(log_t_un) >= log_t_min)
 
     zero_p1 = jnp.zeros((p, 1), jnp.float32)
-    jax.lax.fori_loop(0, nch, body, (zero_p1, zero_p1))
+    done_c, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), zero_p1, zero_p1))
+
+    # chunks skipped by saturation early-exit still need zero gradients
+    dscr[:] = jnp.zeros((NUM_ROWS, k), jnp.float32)
+
+    def zero_fill(c, _):
+        base = pl.multiple_of(start + c * k, k)
+        cp = pltpu.make_async_copy(dscr, dout_ref.at[:, pl.ds(base, k)],
+                                   dsem)
+        cp.start()
+        cp.wait()
+        return 0
+
+    jax.lax.fori_loop(done_c, nch, zero_fill, 0)
 
 
 def _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
