@@ -1,0 +1,248 @@
+"""The training orchestrator.
+
+The TPU analogue of the reference's ``Trainer`` (src/trainer.ts): owns the
+scene + optimizer state, picks a random (camera, image) pair per step
+(trainer.ts:573-575 pairs them by array index), runs the jitted train step,
+and fires the densify/prune schedule (warmup/interval/stop,
+trainer.ts:593-601).
+
+Differences by design:
+  * densify events never reallocate or rebuild pipelines — the scene is
+    capacity-padded with an alive mask; capacity grows geometrically
+    (with one recompile) only when headroom runs out, replacing the
+    reference's swap-request/rebuild protocol (trainer.ts:201-237,466-496);
+  * the only device->host readback is the per-event point-count stat, the
+    same single readback the reference performs (trainer.ts:440-457);
+  * importance metrics render every sampled view with its own camera,
+    fixing SURVEY.md Q1;
+  * checkpointing and PSNR reporting exist (the reference has neither).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import random
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from webdgs_tpu.config import DEFAULT_SETTINGS, RenderSettings
+from webdgs_tpu.core.camera import Camera, CameraData, make_camera
+from webdgs_tpu.core.scene import GaussianScene
+from webdgs_tpu.ops.adam import AdamState, init_adam_state
+from webdgs_tpu.ops.densify import densify_prune
+from webdgs_tpu.ops.importance import multiview_importance_counts
+from webdgs_tpu.ops.loss import pixel_loss_gradient
+from webdgs_tpu.render.renderer import render
+from webdgs_tpu.train.config import TrainerConfig
+from webdgs_tpu.train.step import train_step
+
+
+def _round_capacity(n: int, granule: int = 4096) -> int:
+    return max(-(-n // granule) * granule, granule)
+
+
+class Trainer:
+    def __init__(self, scene: GaussianScene, cameras: list[CameraData],
+                 images: list[dict], config: TrainerConfig = TrainerConfig(),
+                 settings: RenderSettings = DEFAULT_SETTINGS,
+                 initial_capacity: int | None = None):
+        if len(cameras) != len(images):
+            raise ValueError(
+                f"cameras ({len(cameras)}) and images ({len(images)}) must "
+                "pair by index")
+        self.config = config
+        self.settings = settings
+        self.rng = random.Random(config.seed)
+        self.key = jax.random.PRNGKey(config.seed)
+
+        # group views by resolution; jit caches per (W, H)
+        self.groups: dict[tuple[int, int], dict] = {}
+        for cam_data, img in zip(cameras, images):
+            res = (img["width"], img["height"])
+            g = self.groups.setdefault(res, {"cams": [], "imgs": []})
+            g["cams"].append(make_camera(cam_data, *res))
+            g["imgs"].append(img["image"])
+        for res, g in self.groups.items():
+            g["cams"] = jax.tree.map(lambda *xs: jnp.stack(xs), *g["cams"])
+            g["imgs"] = jnp.asarray(np.stack(g["imgs"], axis=0))
+            g["count"] = g["imgs"].shape[0]
+
+        self.num_points = int(scene.num_alive())
+        cap = initial_capacity or _round_capacity(scene.capacity)
+        self.scene = scene.pad_to(cap)
+        self.opt_state = init_adam_state(self.scene.params())
+
+        self.iteration = 0
+        self.step_ms = 0.0
+        self.iters_per_sec = 0.0
+        self.last_densify_iteration: int | None = None
+        self.last_metrics: dict = {}
+
+    # ------------------------------------------------------------------
+    def _pick_group(self):
+        total = sum(g["count"] for g in self.groups.values())
+        r = self.rng.randrange(total)
+        for res, g in self.groups.items():
+            if r < g["count"]:
+                return res, g
+            r -= g["count"]
+        raise AssertionError
+
+    @functools.cached_property
+    def _indexed_step(self):
+        @functools.partial(jax.jit, static_argnames=("img_w", "img_h"))
+        def run(scene, opt_state, cams, imgs, idx, img_w, img_h):
+            camera = jax.tree.map(lambda x: x[idx], cams)
+            return train_step(
+                scene, opt_state, camera, imgs[idx], img_w=img_w,
+                img_h=img_h, loss_cfg=self.config.loss, hp=self.config.adam,
+                settings=self.settings)
+        return run
+
+    def step(self) -> dict:
+        """One training iteration (trainer.ts:568-660)."""
+        t0 = time.perf_counter()
+        (w, h), g = self._pick_group()
+        idx = self.rng.randrange(g["count"])
+
+        self.scene, self.opt_state, metrics = self._indexed_step(
+            self.scene, self.opt_state, g["cams"], g["imgs"],
+            jnp.int32(idx), w, h)
+        self.iteration += 1
+
+        next_it = self.iteration
+        if self.config.densify.schedule.should_densify(next_it):
+            self._run_densify(w, h)
+
+        self.step_ms = (time.perf_counter() - t0) * 1e3
+        inst = 1000.0 / self.step_ms if self.step_ms > 0 else 0.0
+        self.iters_per_sec = (inst if self.iters_per_sec == 0 else
+                              0.9 * self.iters_per_sec + 0.1 * inst)
+        self.last_metrics = metrics
+        return metrics
+
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _densify_fn(self):
+        cfg = self.config.densify
+
+        @functools.partial(jax.jit, static_argnames=("mw", "mh"))
+        def run(scene, opt_state, cams, targets, view_idx, key, mw, mh):
+            cam_batch = jax.tree.map(lambda x: x[view_idx], cams)
+            t_batch = targets[view_idx]
+            t_small = jax.image.resize(
+                t_batch, (t_batch.shape[0], mh, mw, 3), "linear")
+            counts = multiview_importance_counts(
+                scene.params(), scene.alive, scene.sh_deg, cam_batch,
+                t_small, mw, mh, cfg.metric_threshold, self.settings)
+            return densify_prune(scene, opt_state, counts, cfg, key)
+        return run
+
+    def _metric_camera(self, cams: Camera, mw: int, mh: int) -> Camera:
+        """Rescale a stacked camera batch to the metrics viewport, like the
+        reference re-derives focal from fovY at the smaller canvas
+        (trainer.ts:398-401, camera.ts:138-146)."""
+        scale_y = mh / float(cams.viewport[0, 1])
+        return Camera(
+            view=cams.view,
+            proj=cams.proj,
+            cam_pos=cams.cam_pos,
+            focal=cams.focal * scale_y,
+            viewport=jnp.broadcast_to(
+                jnp.array([mw, mh], jnp.float32), cams.viewport.shape),
+        )
+
+    def _run_densify(self, w: int, h: int) -> None:
+        cfg = self.config.densify
+        g = self.groups[(w, h)]
+        downscale = max(1, int(cfg.metric_downscale))
+        mw, mh = max(1, w // downscale), max(1, h // downscale)
+
+        # grow capacity first if headroom is short (one recompile, the
+        # analogue of the reference's buffer swap)
+        needed = self.num_points + cfg.max_new_points_per_step
+        budget = cfg.max_buffer_bytes // 96  # sh-buffer stride analogue
+        if needed > self.scene.capacity and self.scene.capacity < budget:
+            new_cap = _round_capacity(min(int(needed * 1.5), budget))
+            if new_cap > self.scene.capacity:
+                pad = new_cap - self.scene.capacity
+                self.scene = self.scene.pad_to(new_cap)
+                self.opt_state = AdamState(
+                    m={k: jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
+                       for k, v in self.opt_state.m.items()},
+                    v={k: jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
+                       for k, v in self.opt_state.v.items()},
+                    iteration=self.opt_state.iteration)
+
+        n_views = min(max(1, cfg.metric_views), g["count"])
+        view_idx = jnp.asarray(
+            self.rng.sample(range(g["count"]),
+                            k=n_views), dtype=jnp.int32)
+        self.key, sub = jax.random.split(self.key)
+        cams_m = self._metric_camera(g["cams"], mw, mh)
+        result = self._densify_fn(self.scene, self.opt_state, cams_m,
+                                  g["imgs"], view_idx, sub, mw, mh)
+
+        # the single host readback per event (trainer.ts:447-457)
+        out_total = int(result.out_total)
+        in_alive = int(result.in_alive)
+        if out_total == 0 or out_total == in_alive:
+            return  # reference skips the swap (trainer.ts:460-464)
+        self.scene = result.scene
+        self.opt_state = result.opt_state
+        self.num_points = out_total
+        self.last_densify_iteration = self.iteration
+
+    # ------------------------------------------------------------------
+    def next_densify_iteration(self) -> int | None:
+        """trainer.ts:550-565."""
+        s = self.config.densify.schedule
+        if not s.enabled:
+            return None
+        i = self.iteration
+        if i >= s.stop_iterations:
+            return None
+        if i < s.warmup_iterations:
+            return min(s.warmup_iterations, s.stop_iterations)
+        interval = max(1, s.interval)
+        k = -(-(i + 1 - s.warmup_iterations) // interval)
+        nxt = s.warmup_iterations + k * interval
+        return nxt if nxt <= s.stop_iterations else None
+
+    def render_view(self, index: int):
+        """Render one dataset view at full resolution."""
+        flat = [(res, g, i) for res, g in self.groups.items()
+                for i in range(g["count"])]
+        (w, h), g, i = flat[index]
+        cam = jax.tree.map(lambda x: x[i], g["cams"])
+        return render(self.scene, cam, w, h, self.settings).image
+
+    def visualize_loss(self, index: int):
+        """Per-pixel loss-gradient map for a dataset view, the analogue of
+        the reference's show-loss debug view (trainer.ts:695-768)."""
+        flat = [(res, g, i) for res, g in self.groups.items()
+                for i in range(g["count"])]
+        (w, h), g, i = flat[index]
+        cam = jax.tree.map(lambda x: x[i], g["cams"])
+        img = render(self.scene, cam, w, h, self.settings).image
+        return jnp.abs(pixel_loss_gradient(img, g["imgs"][i],
+                                           self.config.loss))
+
+    def train(self, num_iterations: int | None = None,
+              log_every: int = 100, log_fn=print) -> dict:
+        n = num_iterations or self.config.max_iterations
+        for _ in range(n):
+            metrics = self.step()
+            if log_every and self.iteration % log_every == 0 and log_fn:
+                log_fn(f"iter {self.iteration}: "
+                       f"loss={float(metrics['loss']):.4f} "
+                       f"psnr={float(metrics['psnr']):.2f} "
+                       f"points={self.num_points} "
+                       f"({self.iters_per_sec:.1f} it/s)")
+            if self.iteration >= self.config.max_iterations:
+                break
+        return {k: float(v) for k, v in self.last_metrics.items()}
