@@ -90,11 +90,12 @@ def _ordered_depth16(depth: jax.Array) -> jax.Array:
 def _tile_histogram(aux: SplatAux, keep: jax.Array, ntx: int, nty: int):
     """Per-tile entry counts via +-1 corner scatter over each Gaussian's tile
     rect and a 2D inclusive prefix sum — O(N) work for an O(E) histogram."""
-    x0 = aux.tile_min[:, 0]
-    y0 = aux.tile_min[:, 1]
-    x1 = x0 + aux.tile_dims[:, 0]  # exclusive
-    y1 = y0 + aux.tile_dims[:, 1]
-    one = jnp.where(keep, jnp.int32(1), jnp.int32(0))
+    emitting = keep & (aux.num_tiles > 0)
+    x0 = jnp.where(emitting, aux.tile_min[:, 0], 0)
+    y0 = jnp.where(emitting, aux.tile_min[:, 1], 0)
+    x1 = x0 + jnp.where(emitting, aux.tile_dims[:, 0], 0)  # exclusive
+    y1 = y0 + jnp.where(emitting, aux.tile_dims[:, 1], 0)
+    one = jnp.where(emitting, jnp.int32(1), jnp.int32(0))
     grid = jnp.zeros((nty + 1, ntx + 1), jnp.int32)
     grid = grid.at[y0, x0].add(one)
     grid = grid.at[y1, x1].add(one)
@@ -138,8 +139,9 @@ def bin_splats(aux: SplatAux, img_w: int, img_h: int,
     e_idx = jnp.arange(e_cap, dtype=jnp.int32)
     valid = e_idx < total
     slot = e_idx - ef[:, 0]
-    tx = ef[:, 1] + slot % ef[:, 3]
-    ty = ef[:, 2] + slot // ef[:, 3]
+    tiles_x = jnp.maximum(ef[:, 3], 1)  # repeat pads with the last gaussian,
+    tx = ef[:, 1] + slot % tiles_x      # which may have degenerate dims
+    ty = ef[:, 2] + slot // tiles_x
     tile = (ty * ntx + tx).astype(jnp.uint32)
     # the reference's combined key (tiled-forward.wgsl:133-136), without its
     # +1 tile bias: invalid entries get the all-ones key and sort last
