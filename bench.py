@@ -1,0 +1,76 @@
+"""Headline benchmark: full training iterations/second on one chip.
+
+Scenario ~ BASELINE config 3 at scale: 100k Gaussians, 800x600 target, full
+step (projection + binning + Pallas forward/backward rasterization + loss +
+gated Adam).
+
+The reference publishes no numbers (BASELINE.md); its operative target is
+">=10x the browser pipeline's iters/sec on a single v5e chip".  We take a
+browser WebGPU 3DGS trainer at this scene scale to be ~10 iters/s (a
+desktop-GPU estimate; the reference's own meter is its only measurement
+hook), so vs_baseline = iters_per_sec / 10.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BROWSER_BASELINE_ITERS_PER_SEC = 10.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from webdgs_tpu.config import RenderSettings
+    from webdgs_tpu.core.camera import default_camera
+    from webdgs_tpu.ops.adam import init_adam_state
+    from webdgs_tpu.render.renderer import render
+    from webdgs_tpu.train.step import train_step
+
+    n = 100_000
+    w, h = 800, 600
+    rng = np.random.default_rng(0)
+
+    from webdgs_tpu.core.scene import scene_from_arrays
+    quats = rng.normal(0, 1, (n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    scene = scene_from_arrays(
+        rng.normal(0, 1.5, (n, 3)).astype(np.float32),
+        quats=quats,
+        log_scales=rng.uniform(-4.5, -2.5, (n, 3)).astype(np.float32),
+        opacity_logits=rng.uniform(-1, 3, (n,)).astype(np.float32),
+        colors=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+    )
+    settings = RenderSettings(chunk=128)
+    cam = default_camera(w, h, position=(0.0, 0.0, -8.0))
+
+    target = render(scene, cam, w, h, settings).image
+    opt = init_adam_state(scene.params())
+
+    def step(s, o):
+        return train_step(s, o, cam, target, img_w=w, img_h=h,
+                          settings=settings)
+
+    s, o, _ = step(scene, opt)  # compile
+    _ = float(jnp.sum(s.means))  # sync
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s, o, m = step(s, o)
+    _ = float(jnp.sum(s.means))  # forces the whole dependency chain
+    dt = (time.perf_counter() - t0) / iters
+
+    value = 1.0 / dt
+    print(json.dumps({
+        "metric": "train_iters_per_sec_100k_splats_800x600_v5e1",
+        "value": round(value, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(value / BROWSER_BASELINE_ITERS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

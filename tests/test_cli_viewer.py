@@ -1,0 +1,111 @@
+"""CLI + viewer + camera-control end-to-end on tiny data."""
+
+import json
+import os
+import struct
+
+import numpy as np
+
+from webdgs_tpu.cli import main as cli_main
+from webdgs_tpu.io.ply import save_ply
+from webdgs_tpu.render.camera_control import FlyCamera
+from webdgs_tpu.render.viewer import (Viewer, look_at_rotation,
+                                      render_orbit, save_png)
+
+from tests.test_render_forward import random_scene
+
+
+def test_fly_camera_controls():
+    cam = FlyCamera(position=(0, 0, 0))
+    # look is +z with identity rotation
+    np.testing.assert_allclose(cam.look, [0, 0, 1], atol=1e-6)
+    cam.move(0.5, forward=True)
+    np.testing.assert_allclose(cam.position, [0, 0, 2.0], atol=1e-6)
+    # 90-degree yaw drag: pi/2 / 0.003 pixels; with w2c composition
+    # R' = R @ Y(theta), look rotates by -theta about up -> -x
+    cam.drag(np.pi / 2 / 0.003, 0)
+    np.testing.assert_allclose(cam.look, [-1, 0, 0], atol=1e-5)
+    # rotation stays orthonormal
+    np.testing.assert_allclose(cam.rotation @ cam.rotation.T, np.eye(3),
+                               atol=1e-5)
+    cam.wheel(-500.0)  # dolly forward along look
+    np.testing.assert_allclose(cam.position, [-1.0, 0, 2.0], atol=1e-5)
+    cam.roll(1.0, left=True)
+    np.testing.assert_allclose(cam.rotation @ cam.rotation.T, np.eye(3),
+                               atol=1e-5)
+
+
+def test_look_at_rotation():
+    pos = np.array([0.0, 0.0, -5.0])
+    rot = look_at_rotation(pos, np.zeros(3))
+    # camera looks along +z toward origin: view-space z of origin positive
+    z = rot @ (np.zeros(3) - pos)
+    assert z[2] > 4.9
+    np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-6)
+
+
+def test_viewer_and_orbit(tmp_path):
+    scene = random_scene(20, seed=30)
+    viewer = Viewer(scene, 32, 32)
+    viewer.control.position = np.array([0, 0, -5.0], np.float32)
+    img = viewer.render()
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+
+    paths = render_orbit(scene, tmp_path / "frames", n_frames=2, width=32,
+                         height=32)
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+
+def test_cli_view_render_export(tmp_path, capsys):
+    scene = random_scene(15, seed=31)
+    ply = tmp_path / "scene.ply"
+    save_ply(scene, ply)
+
+    cli_main(["view", str(ply), "--out", str(tmp_path / "fr"),
+              "--orbit", "1", "--width", "32", "--height", "32"])
+    assert os.path.exists(tmp_path / "fr" / "frame_0000.png")
+
+    cli_main(["render", str(ply), "--out", str(tmp_path / "r.png"),
+              "--width", "32", "--height", "32",
+              "--position", "0", "0", "-5"])
+    assert os.path.exists(tmp_path / "r.png")
+
+    cli_main(["export", str(ply), "--out", str(tmp_path / "out.ply")])
+    assert os.path.exists(tmp_path / "out.ply")
+
+
+def test_cli_train_smoke(tmp_path):
+    from webdgs_tpu.config import RenderSettings
+    from webdgs_tpu.core.camera import default_camera
+    from webdgs_tpu.render.renderer import render
+
+    w = h = 32
+    gt = random_scene(10, seed=32)
+    gt = gt.replace(opacity_logits=gt.opacity_logits + 2.0)
+    settings = RenderSettings(chunk=128)
+
+    img_dir = tmp_path / "images"
+    os.makedirs(img_dir)
+    cams_json = []
+    fy = 0.5 * h / np.tan(np.radians(45.0) / 2)
+    for i, pos in enumerate([(0, 0, -5.0), (0.3, 0, -5.0)]):
+        cam = default_camera(w, h, position=pos)
+        img = np.asarray(render(gt, cam, w, h, settings).image)
+        save_png(img_dir / f"v{i}.png", img)
+        cams_json.append({
+            "id": i, "img_name": f"v{i}.png", "width": w, "height": h,
+            "position": list(pos),
+            "rotation": np.eye(3).tolist(), "fx": fy, "fy": fy})
+    cam_file = tmp_path / "cameras.json"
+    cam_file.write_text(json.dumps(cams_json))
+    ply = tmp_path / "init.ply"
+    save_ply(random_scene(8, seed=33), ply)
+
+    ckpt = tmp_path / "ck.npz"
+    out_ply = tmp_path / "trained.ply"
+    cli_main(["train", "--points", str(ply), "--cameras", str(cam_file),
+              "--images", str(img_dir), "--iterations", "3",
+              "--no-densify", "--out", str(ckpt),
+              "--export-ply", str(out_ply),
+              "--width", "32", "--height", "32", "--log-every", "1"])
+    assert os.path.exists(ckpt) and os.path.exists(out_ply)

@@ -1,0 +1,225 @@
+"""Command-line interface — the framework's app shell.
+
+The reference is a single-page browser app whose "API" is DOM controls wired
+to trainer/viewer setters (src/main.ts:234-503).  The equivalent surface
+here:
+
+  webdgs-tpu view  scene.ply --out frames/ [--orbit 24] [--width 800] ...
+  webdgs-tpu train --points scene.ply|points3D.bin --cameras <files...>
+                   --images <dir> [--iterations N] [--lr-pos ...] ...
+  webdgs-tpu render ckpt.npz --out img.png [--view 0]
+  webdgs-tpu export ckpt.npz --out scene.ply
+
+Flag names and defaults mirror the reference's slider surface
+(index.html:105-179, SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _add_common_render_args(p):
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=600)
+    p.add_argument("--max-splat-radius-px", type=float, default=128.0)
+    p.add_argument("--background", type=float, nargs=3,
+                   default=(0.0, 0.0, 0.0))
+
+
+def _settings(args):
+    from webdgs_tpu.config import RenderSettings
+    return RenderSettings(max_splat_radius_px=args.max_splat_radius_px,
+                          background=tuple(args.background), chunk=128)
+
+
+def cmd_view(args):
+    from webdgs_tpu.io.ply import load_point_cloud
+    from webdgs_tpu.render.viewer import render_orbit
+
+    scene = load_point_cloud(args.scene)
+    print(f"loaded {int(scene.num_alive())} points, sh_deg={scene.sh_deg}")
+    paths = render_orbit(scene, args.out, n_frames=args.orbit,
+                         width=args.width, height=args.height,
+                         settings=_settings(args), radius=args.radius)
+    print(f"wrote {len(paths)} frames to {args.out}")
+
+
+def cmd_train(args):
+    from webdgs_tpu.io.colmap import load_cameras
+    from webdgs_tpu.io.images import load_images
+    from webdgs_tpu.io.ply import load_point_cloud, save_ply
+    from webdgs_tpu.io.checkpoint import save_checkpoint
+    from webdgs_tpu.ops.adam import AdamHyperparameters
+    from webdgs_tpu.ops.loss import LossConfig
+    from webdgs_tpu.train.config import (DensifyPruneConfig, DensifySchedule,
+                                         TrainerConfig)
+    from webdgs_tpu.train.trainer import Trainer
+
+    scene = load_point_cloud(args.points)
+    cameras = load_cameras(args.cameras)
+    images = load_images(args.images)
+
+    # pair cameras and images by index after name-sorting, like the
+    # reference (trainer.ts:573-575 + load-images name sort); cameras sort
+    # by img_name when present for stability
+    if all(c.img_name for c in cameras):
+        from webdgs_tpu.io.images import numeric_key
+        cameras = sorted(cameras, key=lambda c: numeric_key(c.img_name))
+    n = min(len(cameras), len(images))
+    cameras, images = cameras[:n], images[:n]
+    print(f"dataset: {n} views; {int(scene.num_alive())} initial points")
+
+    cfg = TrainerConfig(
+        loss=LossConfig(lambda_l1=args.lambda_l1, lambda_l2=args.lambda_l2,
+                        lambda_dssim=args.lambda_dssim),
+        adam=AdamHyperparameters(
+            lr_pos=args.lr_pos, lr_color=args.lr_color,
+            lr_opacity=args.lr_opacity, lr_scale=args.lr_scale,
+            lr_rot=args.lr_rot, full_sh=args.full_sh,
+            bias_correction=args.bias_correction),
+        densify=DensifyPruneConfig(
+            schedule=DensifySchedule(
+                enabled=not args.no_densify,
+                warmup_iterations=args.densify_warmup,
+                interval=args.densify_interval,
+                stop_iterations=args.densify_stop),
+            metric_views=args.metric_views,
+            metric_downscale=args.metric_downscale,
+            metric_threshold=args.metric_threshold,
+            max_new_points_per_step=args.max_new_points,
+            prune_opacity=args.prune_opacity,
+            clone_threshold_count=args.clone_threshold,
+            split_scale_threshold=args.split_scale_threshold),
+        max_iterations=args.iterations,
+        seed=args.seed)
+
+    trainer = Trainer(scene, cameras, images, cfg, _settings(args))
+    trainer.train(log_every=args.log_every)
+
+    if args.out:
+        save_checkpoint(args.out, trainer.scene, trainer.opt_state,
+                        iteration=trainer.iteration)
+        print(f"checkpoint -> {args.out}")
+    if args.export_ply:
+        n_out = save_ply(trainer.scene, args.export_ply)
+        print(f"exported {n_out} splats -> {args.export_ply}")
+
+
+def _load_scene_any(path):
+    from webdgs_tpu.io.checkpoint import load_checkpoint
+    from webdgs_tpu.io.ply import load_point_cloud
+    if str(path).endswith(".npz"):
+        scene, _, _ = load_checkpoint(path)
+        return scene
+    return load_point_cloud(path)
+
+
+def cmd_render(args):
+    import numpy as np
+    from webdgs_tpu.render.viewer import Viewer, save_png
+
+    scene = _load_scene_any(args.scene)
+    viewer = Viewer(scene, args.width, args.height, _settings(args))
+    if args.position:
+        viewer.control.position = np.asarray(args.position, np.float32)
+    img = viewer.render()
+    save_png(args.out, img)
+    print(f"rendered {args.width}x{args.height} -> {args.out}")
+
+
+def cmd_export(args):
+    from webdgs_tpu.io.ply import save_ply
+    scene = _load_scene_any(args.scene)
+    n = save_ply(scene, args.out)
+    print(f"exported {n} splats -> {args.out}")
+
+
+def cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def build_parser():
+    p = argparse.ArgumentParser("webdgs-tpu",
+                                description="TPU-native 3D Gaussian "
+                                "Splatting trainer/viewer")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    v = sub.add_parser("view", help="orbit-render a splat to PNG frames")
+    v.add_argument("scene")
+    v.add_argument("--out", default="frames")
+    v.add_argument("--orbit", type=int, default=24)
+    v.add_argument("--radius", type=float, default=None)
+    _add_common_render_args(v)
+    v.set_defaults(fn=cmd_view)
+
+    t = sub.add_parser("train", help="train a scene from COLMAP data")
+    t.add_argument("--points", required=True,
+                   help="initial PLY or COLMAP points3D.bin")
+    t.add_argument("--cameras", nargs="+", required=True,
+                   help="images.bin + cameras.bin, or a cameras JSON")
+    t.add_argument("--images", required=True, help="image dir or files")
+    t.add_argument("--iterations", type=int, default=10_000)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--log-every", type=int, default=100)
+    t.add_argument("--out", default="checkpoint.npz")
+    t.add_argument("--export-ply", default=None)
+    # loss (trainer.ts:100-104)
+    t.add_argument("--lambda-l1", type=float, default=0.8)
+    t.add_argument("--lambda-l2", type=float, default=0.0)
+    t.add_argument("--lambda-dssim", type=float, default=0.2)
+    # adam (adam-config.ts:12-21)
+    t.add_argument("--lr-pos", type=float, default=0.00016)
+    t.add_argument("--lr-color", type=float, default=0.0025)
+    t.add_argument("--lr-opacity", type=float, default=0.05)
+    t.add_argument("--lr-scale", type=float, default=0.005)
+    t.add_argument("--lr-rot", type=float, default=0.001)
+    t.add_argument("--full-sh", action="store_true",
+                   help="train all SH bands (reference trains DC only)")
+    t.add_argument("--bias-correction", action="store_true",
+                   help="enable Adam bias correction (reference omits it)")
+    # densify (trainer.ts:147-164)
+    t.add_argument("--no-densify", action="store_true")
+    t.add_argument("--densify-warmup", type=int, default=500)
+    t.add_argument("--densify-interval", type=int, default=100)
+    t.add_argument("--densify-stop", type=int, default=15_000)
+    t.add_argument("--metric-views", type=int, default=10)
+    t.add_argument("--metric-downscale", type=int, default=2)
+    t.add_argument("--metric-threshold", type=float, default=0.5)
+    t.add_argument("--max-new-points", type=int, default=5000)
+    t.add_argument("--prune-opacity", type=float, default=0.01)
+    t.add_argument("--clone-threshold", type=int, default=500)
+    t.add_argument("--split-scale-threshold", type=float, default=1.0)
+    _add_common_render_args(t)
+    t.set_defaults(fn=cmd_train)
+
+    r = sub.add_parser("render", help="render one frame from a scene or "
+                       "checkpoint")
+    r.add_argument("scene")
+    r.add_argument("--out", default="render.png")
+    r.add_argument("--position", type=float, nargs=3, default=None)
+    _add_common_render_args(r)
+    r.set_defaults(fn=cmd_render)
+
+    e = sub.add_parser("export", help="export a checkpoint to PLY")
+    e.add_argument("scene")
+    e.add_argument("--out", required=True)
+    e.set_defaults(fn=cmd_export)
+
+    b = sub.add_parser("bench", help="run the headline benchmark")
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,113 @@
+"""Offline viewer — the reference's "view mode" (src/viewer.ts, the rAF loop
+in src/main.ts:537-608) re-imagined for a headless TPU host: load a splat,
+fly/orbit a camera, render frames to arrays or PNG files.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+from webdgs_tpu.config import DEFAULT_SETTINGS, RenderSettings
+from webdgs_tpu.core.camera import Camera, CameraData, make_camera
+from webdgs_tpu.core.scene import GaussianScene
+from webdgs_tpu.render.camera_control import FlyCamera
+from webdgs_tpu.render.renderer import render
+
+
+def save_png(path: str | os.PathLike, image: np.ndarray) -> None:
+    from PIL import Image
+    arr = np.clip(np.asarray(image), 0.0, 1.0)
+    Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8)).save(path)
+
+
+def look_at_rotation(position: np.ndarray, target: np.ndarray,
+                     up=(0.0, 1.0, 0.0)) -> np.ndarray:
+    """World-to-camera rotation looking from position toward target, with
+    the framework's +z-forward view convention."""
+    fwd = np.asarray(target, np.float64) - np.asarray(position, np.float64)
+    fwd = fwd / max(np.linalg.norm(fwd), 1e-12)
+    up = np.asarray(up, np.float64)
+    right = np.cross(up, fwd)
+    nr = np.linalg.norm(right)
+    if nr < 1e-8:
+        right = np.array([1.0, 0.0, 0.0])
+        nr = 1.0
+    right = right / nr
+    true_up = np.cross(fwd, right)
+    return np.stack([right, true_up, fwd]).astype(np.float32)
+
+
+class Viewer:
+    """Render a scene interactively-by-script: a FlyCamera plus render()."""
+
+    def __init__(self, scene: GaussianScene, width: int = 800,
+                 height: int = 600,
+                 settings: RenderSettings = DEFAULT_SETTINGS,
+                 fov_y_deg: float = 45.0):
+        self.scene = scene
+        self.width = width
+        self.height = height
+        self.settings = settings
+        self.fov_y = math.radians(fov_y_deg)
+        self.control = FlyCamera(position=(0.0, 0.0, 5.0))
+
+    def set_point_cloud(self, scene: GaussianScene) -> None:
+        self.scene = scene
+
+    def camera(self) -> Camera:
+        fy = 0.5 * self.height / math.tan(self.fov_y * 0.5)
+        data = CameraData(position=self.control.position,
+                          rotation=self.control.rotation,
+                          fy=fy, height=self.height)
+        return make_camera(data, self.width, self.height)
+
+    def render(self) -> np.ndarray:
+        res = render(self.scene, self.camera(), self.width, self.height,
+                     self.settings)
+        return np.asarray(res.image)
+
+
+def orbit_cameras(center, radius: float, n_frames: int, width: int,
+                  height: int, elevation_deg: float = 15.0,
+                  fov_y_deg: float = 45.0) -> list[Camera]:
+    center = np.asarray(center, np.float32)
+    el = math.radians(elevation_deg)
+    fy = 0.5 * height / math.tan(math.radians(fov_y_deg) * 0.5)
+    cams = []
+    for i in range(n_frames):
+        az = 2.0 * math.pi * i / n_frames
+        pos = center + radius * np.array([
+            math.cos(el) * math.sin(az),
+            math.sin(el),
+            math.cos(el) * math.cos(az)], np.float32)
+        rot = look_at_rotation(pos, center)
+        cams.append(make_camera(CameraData(position=pos, rotation=rot,
+                                           fy=fy, height=height),
+                                width, height))
+    return cams
+
+
+def render_orbit(scene: GaussianScene, out_dir: str | os.PathLike,
+                 n_frames: int = 24, width: int = 800, height: int = 600,
+                 settings: RenderSettings = DEFAULT_SETTINGS,
+                 radius: float | None = None) -> list[str]:
+    """Render an orbit around the alive-point centroid to PNG frames."""
+    means = np.asarray(scene.means)
+    alive = np.asarray(scene.alive)
+    pts = means[alive] if alive.any() else means
+    center = pts.mean(axis=0)
+    if radius is None:
+        radius = float(np.percentile(
+            np.linalg.norm(pts - center, axis=1), 90) * 2.5 + 1e-3)
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, cam in enumerate(orbit_cameras(center, radius, n_frames,
+                                          width, height)):
+        img = render(scene, cam, width, height, settings).image
+        p = os.path.join(out_dir, f"frame_{i:04d}.png")
+        save_png(p, np.asarray(img))
+        paths.append(p)
+    return paths
