@@ -109,3 +109,17 @@ def test_cli_train_smoke(tmp_path):
               "--export-ply", str(out_ply),
               "--width", "32", "--height", "32", "--log-every", "1"])
     assert os.path.exists(ckpt) and os.path.exists(out_ply)
+
+
+def test_pointcloud_render_mode():
+    scene = random_scene(10, seed=34)
+    viewer = Viewer(scene, 32, 32, render_mode="pointcloud",
+                    point_size_px=2.0)
+    viewer.control.position = np.array([0, 0, -5.0], np.float32)
+    img = viewer.render()
+    assert img.shape == (32, 32, 3)
+    # dots are yellow: wherever there is content, r == g and b == 0
+    lit = img[..., 0] > 0.5
+    assert lit.any()
+    np.testing.assert_allclose(img[lit][:, 0], img[lit][:, 1], atol=1e-5)
+    assert (img[lit][:, 2] < 1e-5).all()

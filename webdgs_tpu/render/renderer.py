@@ -45,6 +45,44 @@ def render_from_attrs(attrs: SplatAttrs, aux: SplatAux, img_w: int,
     return out, bins
 
 
+def render_points(scene: GaussianScene, camera: Camera, img_w: int,
+                  img_h: int, settings: RenderSettings = DEFAULT_SETTINGS,
+                  point_size_px: float = 3.0) -> jax.Array:
+    """Point-cloud debug mode (the reference viewer's default renderMode,
+    src/viewer.ts:54, rasterized at tiled-rasterizer.wgsl:212-221: yellow
+    dots of point_size_px within each splat's extent box).
+
+    Implemented by substituting splat attributes so the standard compositor
+    draws saturated yellow discs: a steep isotropic conic makes alpha cross
+    the 1/255 threshold exactly at the dot radius.  Visually equivalent to
+    the reference (which hard-sets the pixel instead of blending).
+    """
+    import math
+
+    attrs, aux = project_gaussians(scene.params(), scene.alive, camera,
+                                   img_w, img_h, scene.sh_deg, settings)
+    r = max(point_size_px, 0.5)
+    if settings.max_splat_radius_px > 0:
+        r = min(r, settings.max_splat_radius_px)
+    # alpha(d) = 0.99 * exp(-0.5 k d^2) hits 1/255 at d = r
+    k = 2.0 * math.log(0.99 * 255.0) / (r * r)
+    n = attrs.opacity.shape[0]
+    point_attrs = SplatAttrs(
+        center_px=attrs.center_px,
+        conic=jnp.broadcast_to(jnp.array([k, 0.0, k], jnp.float32), (n, 3)),
+        color=jnp.broadcast_to(jnp.array([1.0, 1.0, 0.0], jnp.float32),
+                               (n, 3)),
+        opacity=jnp.full((n,), 0.99, jnp.float32),
+        # the reference tests the dot against the *gaussian* extent box
+        extents=jnp.minimum(attrs.extents, r),
+    )
+    out, bins = render_from_attrs(point_attrs, aux, img_w, img_h, settings)
+    ntx, nty = binning_ops.tile_grid(img_w, img_h, settings)
+    tiles = raster_ops.tiles_to_image(out, ntx, nty, img_w, img_h, settings)
+    bg = jnp.asarray(settings.background, dtype=jnp.float32)
+    return tiles[..., 0:3] + bg * tiles[..., raster_ops.OUT_T:raster_ops.OUT_T + 1]
+
+
 def render(scene: GaussianScene, camera: Camera, img_w: int, img_h: int,
            settings: RenderSettings = DEFAULT_SETTINGS,
            entry_capacity: int | None = None) -> RenderResult:

@@ -14,7 +14,7 @@ from webdgs_tpu.config import DEFAULT_SETTINGS, RenderSettings
 from webdgs_tpu.core.camera import Camera, CameraData, make_camera
 from webdgs_tpu.core.scene import GaussianScene
 from webdgs_tpu.render.camera_control import FlyCamera
-from webdgs_tpu.render.renderer import render
+from webdgs_tpu.render.renderer import render, render_points
 
 
 def save_png(path: str | os.PathLike, image: np.ndarray) -> None:
@@ -46,13 +46,26 @@ class Viewer:
     def __init__(self, scene: GaussianScene, width: int = 800,
                  height: int = 600,
                  settings: RenderSettings = DEFAULT_SETTINGS,
-                 fov_y_deg: float = 45.0):
+                 fov_y_deg: float = 45.0,
+                 render_mode: str = "gaussian",
+                 point_size_px: float = 3.0):
         self.scene = scene
         self.width = width
         self.height = height
         self.settings = settings
         self.fov_y = math.radians(fov_y_deg)
         self.control = FlyCamera(position=(0.0, 0.0, 5.0))
+        # reference viewer setters (src/viewer.ts:90-100)
+        self.render_mode = render_mode  # 'gaussian' | 'pointcloud'
+        self.point_size_px = point_size_px
+
+    def set_render_mode(self, mode: str) -> None:
+        if mode not in ("gaussian", "pointcloud"):
+            raise ValueError(f"unknown render mode {mode!r}")
+        self.render_mode = mode
+
+    def set_point_size(self, value: float) -> None:
+        self.point_size_px = float(value)
 
     def set_point_cloud(self, scene: GaussianScene) -> None:
         self.scene = scene
@@ -65,6 +78,11 @@ class Viewer:
         return make_camera(data, self.width, self.height)
 
     def render(self) -> np.ndarray:
+        if self.render_mode == "pointcloud":
+            img = render_points(self.scene, self.camera(), self.width,
+                                self.height, self.settings,
+                                self.point_size_px)
+            return np.asarray(img)
         res = render(self.scene, self.camera(), self.width, self.height,
                      self.settings)
         return np.asarray(res.image)
