@@ -197,3 +197,64 @@ def test_checkpoint_roundtrip(tmp_path):
     assert opt2 is not None
     np.testing.assert_allclose(np.asarray(opt2.m["sh"]),
                                np.asarray(opt.m["sh"]))
+
+
+def test_native_parser_matches_python():
+    """The C++ fast path must agree byte-for-byte with the Python parsers."""
+    from webdgs_tpu.io import native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("no C++ toolchain available")
+
+    rng = np.random.default_rng(44)
+    # points3D with variable tracks
+    n = 50
+    buf = struct.pack("<Q", n)
+    for i in range(n):
+        tl = int(rng.integers(0, 7))
+        buf += struct.pack("<Q", i)
+        buf += struct.pack("<3d", *rng.normal(0, 2, 3))
+        buf += struct.pack("<3B", *rng.integers(0, 256, 3))
+        buf += struct.pack("<d", 0.1)
+        buf += struct.pack("<Q", tl) + b"\x01" * (tl * 8)
+    fast = native.parse_points3d(buf)
+    assert fast is not None
+    scene = load_point_cloud(buf)  # goes through the native path
+    np.testing.assert_allclose(np.asarray(scene.means), fast[0])
+
+    # pure python path for comparison
+    from webdgs_tpu.io.ply import scene_from_arrays  # noqa: F401
+    import webdgs_tpu.io.ply as plymod
+    import webdgs_tpu.io.native as nat
+
+    orig = nat.parse_points3d
+    try:
+        nat.parse_points3d = lambda data: None
+        scene_py = plymod.load_points3d_bin(buf)
+    finally:
+        nat.parse_points3d = orig
+    np.testing.assert_allclose(np.asarray(scene.means),
+                               np.asarray(scene_py.means), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(scene.sh),
+                               np.asarray(scene_py.sh), atol=1e-6)
+
+    # images.bin
+    entries = [{"id": 3, "qvec": (0.7, 0.1, -0.3, 0.2),
+                "tvec": (0.5, -1.0, 2.0), "camera_id": 9,
+                "name": "img_007.png"},
+               {"id": 5, "qvec": (1.0, 0.0, 0.0, 0.0),
+                "tvec": (0.0, 0.0, 0.0), "camera_id": 9, "name": "x.png"}]
+    blob = _images_bin_bytes(entries)
+    from webdgs_tpu.io.colmap import load_images_bin
+    cams_native = load_images_bin(blob)
+    orig2 = nat.parse_images_bin
+    try:
+        nat.parse_images_bin = lambda data: None
+        cams_py = load_images_bin(blob)
+    finally:
+        nat.parse_images_bin = orig2
+    assert len(cams_native) == len(cams_py) == 2
+    for a, b in zip(cams_native, cams_py):
+        assert a.id == b.id and a.img_name == b.img_name
+        np.testing.assert_allclose(a.rotation, b.rotation, atol=1e-6)
+        np.testing.assert_allclose(a.position, b.position, atol=1e-5)

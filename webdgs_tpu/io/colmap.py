@@ -39,6 +39,19 @@ def quat_to_rotmat_wxyz(w: float, x: float, y: float, z: float) -> np.ndarray:
 
 
 def load_images_bin(data: bytes) -> list[CameraData]:
+    from webdgs_tpu.io import native
+    parsed = native.parse_images_bin(data)
+    if parsed is not None:
+        ids, qvecs, tvecs, cam_ids, names = parsed
+        out = []
+        for i in range(len(ids)):
+            r = quat_to_rotmat_wxyz(*qvecs[i])
+            t = tvecs[i].astype(np.float32)
+            out.append(CameraData(
+                id=int(ids[i]), camera_id=int(cam_ids[i]),
+                img_name=names[i], rotation=r, position=-(r.T @ t)))
+        return out
+
     view = memoryview(data)
     if len(data) < 8:
         return []

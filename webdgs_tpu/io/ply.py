@@ -127,7 +127,17 @@ def load_ply(data: bytes) -> GaussianScene:
 
 
 def load_points3d_bin(data: bytes) -> GaussianScene:
-    """COLMAP points3D.bin (load-pointcloud.ts:54-154)."""
+    """COLMAP points3D.bin (load-pointcloud.ts:54-154).
+
+    Uses the native C++ parser when available (io/native); this Python loop
+    is the reference implementation and fallback.
+    """
+    from webdgs_tpu.io import native
+    parsed = native.parse_points3d(data)
+    if parsed is not None:
+        xyz, rgb = parsed
+        return scene_from_arrays(xyz, colors=rgb, sh_deg=0)
+
     view = memoryview(data)
     (num_points,) = struct.unpack_from("<Q", view, 0)
     offset = 8
