@@ -107,7 +107,6 @@ def densify_prune(scene: GaussianScene, opt_state: AdamState,
                           in_alive + jnp.int32(cfg.max_new_points_per_step))
     offsets = jnp.cumsum(counts) - counts
     counts = jnp.clip(max_out - offsets, 0, counts)
-    total = offsets[-1] + counts[-1] if n > 0 else jnp.int32(0)
     total = jnp.minimum(jnp.sum(counts), max_out)
 
     # out slot -> (source gaussian, variant)

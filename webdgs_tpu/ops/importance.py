@@ -126,8 +126,7 @@ def view_importance_counts(scene_params, alive, sh_deg, camera: Camera,
     out = raster_ops.rasterize_tiles(attrs16, bins.tile_offsets, ntx, nty,
                                      settings)
     tiles = raster_ops.tiles_to_image(out, ntx, nty, img_w, img_h, settings)
-    bg = jnp.asarray(settings.background, dtype=jnp.float32)
-    pred = tiles[..., 0:3] + bg * tiles[..., raster_ops.OUT_T:raster_ops.OUT_T + 1]
+    pred = raster_ops.composite_background(tiles, settings)
 
     flag = metric_flag_map(pred, target, threshold)
     pix = jnp.stack([flag, tiles[..., raster_ops.OUT_NCONTRIB]], axis=-1)

@@ -416,6 +416,13 @@ def pack_entry_attrs(attrs, entry_gauss, entry_valid,
     return gathered.T  # (16, A)
 
 
+def composite_background(tiles, settings: RenderSettings):
+    """accum + background * T_final (tiled-rasterizer.wgsl:250-252);
+    tiles: (..., NUM_OUT) pixel channels -> (..., 3) final color."""
+    bg = jnp.asarray(settings.background, dtype=jnp.float32)
+    return tiles[..., 0:3] + bg * tiles[..., OUT_T:OUT_T + 1]
+
+
 def tiles_to_image(out, num_tiles_x, num_tiles_y, img_w, img_h,
                    settings: RenderSettings):
     """(T, P, C) per-tile pixels -> (H, W, C) image crop."""

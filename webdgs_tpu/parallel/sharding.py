@@ -158,9 +158,8 @@ def render_tile_sharded(scene: GaussianScene, camera: Camera, img_w: int,
                                          rows, settings)
         tiles = raster_ops.tiles_to_image(out, ntx, rows, img_w, band_h,
                                           settings)
-        bg = jnp.asarray(settings.background, dtype=jnp.float32)
-        band = tiles[..., 0:3] + bg * tiles[..., raster_ops.OUT_T:raster_ops.OUT_T + 1]
-        return band  # (band_h, W, 3), stacked over the mesh by out_specs
+        # (band_h, W, 3), stacked over the mesh by out_specs
+        return raster_ops.composite_background(tiles, settings)
 
     img = run(scene)  # (nty_pad*tile_h, W, 3) row-sharded
     if gather:

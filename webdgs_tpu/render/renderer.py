@@ -79,8 +79,7 @@ def render_points(scene: GaussianScene, camera: Camera, img_w: int,
     out, bins = render_from_attrs(point_attrs, aux, img_w, img_h, settings)
     ntx, nty = binning_ops.tile_grid(img_w, img_h, settings)
     tiles = raster_ops.tiles_to_image(out, ntx, nty, img_w, img_h, settings)
-    bg = jnp.asarray(settings.background, dtype=jnp.float32)
-    return tiles[..., 0:3] + bg * tiles[..., raster_ops.OUT_T:raster_ops.OUT_T + 1]
+    return raster_ops.composite_background(tiles, settings)
 
 
 def render(scene: GaussianScene, camera: Camera, img_w: int, img_h: int,
@@ -95,9 +94,7 @@ def render(scene: GaussianScene, camera: Camera, img_w: int, img_h: int,
                                           settings)
     accum = img_tiles[..., 0:4]
     t_final = img_tiles[..., raster_ops.OUT_T]
-    bg = jnp.asarray(settings.background, dtype=jnp.float32)
-    # final color = accum + background * T (tiled-rasterizer.wgsl:250-252)
-    image = accum[..., :3] + bg * t_final[..., None]
+    image = raster_ops.composite_background(img_tiles, settings)
     return RenderResult(
         image=image,
         accum=accum,

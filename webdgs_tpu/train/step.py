@@ -63,15 +63,13 @@ def compute_param_grads(scene: GaussianScene, camera: Camera,
     attrs, vjp_proj, aux = jax.vjp(proj_fn, params, has_aux=True)
 
     ntx, nty = binning_ops.tile_grid(img_w, img_h, settings)
-    bg = jnp.asarray(settings.background, dtype=jnp.float32)
 
     def img_fn(a):
         out, _ = render_from_attrs(a, aux, img_w, img_h, settings,
                                    entry_capacity)
         tiles = raster_ops.tiles_to_image(out, ntx, nty, img_w, img_h,
                                           settings)
-        image = tiles[..., 0:3] + bg * tiles[..., raster_ops.OUT_T:raster_ops.OUT_T + 1]
-        return image
+        return raster_ops.composite_background(tiles, settings)
 
     image, vjp_raster = jax.vjp(img_fn, attrs)
     pgrad = pixel_loss_gradient(image, target, loss_cfg)
@@ -109,6 +107,9 @@ def train_step(scene: GaussianScene, opt_state: AdamState, camera: Camera,
     new_params, new_opt = adam_step(scene.params(), d_params, opt_state, hp,
                                     aux.num_tiles)
     metrics = loss_metrics(image, target, loss_cfg)
+    # the reference's pipeline-stats counters (update-stats.wgsl,
+    # tiled-forward.wgsl:292): visible splats + total tile entries
     metrics["visible"] = jnp.sum(aux.visible.astype(jnp.int32))
+    metrics["tile_entries"] = jnp.sum(aux.num_tiles)
     return TrainStepResult(scene=scene.with_params(new_params),
                            opt_state=new_opt, metrics=metrics)
