@@ -91,3 +91,39 @@ def test_saturation_early_termination():
     center_nc = nc[16, 16]
     assert 0 < center_nc < n, "early termination should cut the list short"
     assert np.asarray(res.t_final)[16, 16] < 0.01
+
+
+def test_entry_budget_overflow_drops_whole_gaussians():
+    """With a tiny entry capacity, later Gaussians are dropped whole and the
+    render still matches the oracle restricted to the kept set."""
+    w, h = 48, 32
+    settings = RenderSettings(chunk=128)
+    scene = random_scene(50, seed=51)
+    cam = default_camera(w, h, position=(0.0, 0.0, -5.0))
+
+    attrs, aux = project_gaussians(scene.params(), scene.alive, cam, w, h,
+                                   scene.sh_deg, settings)
+    cap = 128  # one chunk: far fewer than the scene emits
+    bins = binning_ops.bin_splats(aux, w, h, settings, capacity=cap)
+    assert int(bins.total_entries) <= cap
+
+    # emulate the same whole-gaussian drop for the oracle
+    counts = np.asarray(aux.num_tiles)
+    keep = np.cumsum(counts) <= cap
+    aux_kept = aux._replace(
+        visible=jnp.asarray(np.asarray(aux.visible) & keep),
+        num_tiles=jnp.asarray(np.where(keep, counts, 0).astype(np.int32)))
+    bins_kept = binning_ops.bin_splats(aux_kept, w, h, settings)
+    ntx, nty = binning_ops.tile_grid(w, h, settings)
+
+    from webdgs_tpu.ops import rasterize as raster_ops
+    a16 = raster_ops.pack_entry_attrs(attrs, bins.entry_gauss,
+                                      bins.entry_valid, settings)
+    out = raster_ops.rasterize_tiles(a16, bins.tile_offsets, ntx, nty,
+                                     settings)
+    a16_k = raster_ops.pack_entry_attrs(attrs, bins_kept.entry_gauss,
+                                        bins_kept.entry_valid, settings)
+    out_k = raster_ops.rasterize_tiles(a16_k, bins_kept.tile_offsets, ntx,
+                                       nty, settings)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_k),
+                               rtol=1e-5, atol=1e-6)
