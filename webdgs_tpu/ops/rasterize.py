@@ -139,22 +139,35 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
     tri_strict, _ = _tri_masks(k)
 
+    def chunk_dma(c, slot):
+        base = pl.multiple_of(start + c * k, k)
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(base, k)], scr.at[slot], sem.at[slot])
+
+    @pl.when(nch > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
     def body(carry):
         c, log_t_un, log_t_gated, acc, nmax = carry
-        base = pl.multiple_of(start + c * k, k)
-        cp = pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(base, k)], scr, sem)
-        cp.start()
-        cp.wait()
+        slot = c % 2
 
-        alpha, _, _, _ = _chunk_alpha(scr[:], pxf, pyf, settings)
+        # prefetch the next chunk while this one is processed
+        @pl.when(c + 1 < nch)
+        def _():
+            chunk_dma(c + 1, (c + 1) % 2).start()
+
+        chunk_dma(c, slot).wait()
+
+        alpha, _, _, _ = _chunk_alpha(scr[slot], pxf, pyf, settings)
         alog = jnp.log1p(-alpha)
         t_excl = jnp.exp(_prefix_mm(alog, tri_strict) + log_t_un)
         incl = (t_excl >= settings.t_threshold).astype(jnp.float32)
         w = alpha * t_excl * incl  # (P, K)
 
         c4 = jnp.concatenate(
-            [scr[ROW_R:ROW_B + 1, :], jnp.ones((1, k), jnp.float32)], axis=0)
+            [scr[slot, ROW_R:ROW_B + 1, :], jnp.ones((1, k), jnp.float32)],
+            axis=0)
         acc = acc + jax.lax.dot_general(
             w, c4, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (P, 4)
@@ -175,7 +188,12 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
     zero_p1 = jnp.zeros((p, 1), jnp.float32)
     init = (jnp.int32(0), zero_p1, zero_p1, jnp.zeros((p, 4), jnp.float32),
             zero_p1)
-    _, _, log_t_gated, acc, nmax = jax.lax.while_loop(cond, body, init)
+    done_c, _, log_t_gated, acc, nmax = jax.lax.while_loop(cond, body, init)
+
+    # a saturation early-exit may leave one prefetched DMA in flight
+    @pl.when(done_c < nch)
+    def _():
+        chunk_dma(done_c, done_c % 2).wait()
 
     out_ref[0, :, 0:4] = acc
     out_ref[0, :, OUT_T:OUT_T + 1] = jnp.exp(log_t_gated)
@@ -203,15 +221,36 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
     # the dT_final/da_j = -T_final/(1-a_j) term folds into the suffix
     suffix_extra = u_tot + g_t * t_final  # (P, 1)
 
+    def chunk_dma(c, slot):
+        base = pl.multiple_of(start + c * k, k)
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(base, k)], scr.at[slot], sem.at[slot])
+
+    def out_dma(c, slot):
+        base = pl.multiple_of(start + c * k, k)
+        return pltpu.make_async_copy(
+            dscr.at[slot], dout_ref.at[:, pl.ds(base, k)], dsem.at[slot])
+
+    @pl.when(nch > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
     def body(carry):
         c, log_t_un, cum_u = carry
-        base = pl.multiple_of(start + c * k, k)
-        cp = pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(base, k)], scr, sem)
-        cp.start()
-        cp.wait()
+        slot = c % 2
 
-        alpha, g, dx, dy = _chunk_alpha(scr[:], pxf, pyf, settings)
+        @pl.when(c + 1 < nch)
+        def _():
+            chunk_dma(c + 1, (c + 1) % 2).start()
+
+        chunk_dma(c, slot).wait()
+        # the gradient scratch slot is reused every other chunk: make sure
+        # its previous write-out has drained before overwriting
+        @pl.when(c >= 2)
+        def _():
+            out_dma(c - 2, slot).wait()
+
+        alpha, g, dx, dy = _chunk_alpha(scr[slot], pxf, pyf, settings)
         alog = jnp.log1p(-alpha)
         t_excl = jnp.exp(_prefix_mm(alog, tri_strict) + log_t_un)
         incl = (t_excl >= settings.t_threshold).astype(jnp.float32)
@@ -219,7 +258,8 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
         w = alpha * t_excl * incl
 
         c4 = jnp.concatenate(
-            [scr[ROW_R:ROW_B + 1, :], jnp.ones((1, k), jnp.float32)], axis=0)
+            [scr[slot, ROW_R:ROW_B + 1, :], jnp.ones((1, k), jnp.float32)],
+            axis=0)
         # gamma4[p, j] = sum_ch g4[p, ch] * c4[ch, j]
         gamma4 = jax.lax.dot_general(
             g4, c4, (((1,), (0,)), ((), ())),
@@ -231,7 +271,7 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
         dl_da = (gamma4 * t_excl
                  - (suffix_extra - u_prefix) / one_m_a) * live
 
-        op = scr[ROW_OP:ROW_OP + 1, :]
+        op = scr[slot, ROW_OP:ROW_OP + 1, :]
         unclamped = (op * g < settings.alpha_max).astype(jnp.float32)
         dl_dg = dl_da * op * unclamped
         d_op = jnp.sum(dl_da * g * unclamped, axis=0, keepdims=True)  # (1, K)
@@ -241,9 +281,9 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
             gpix_ref[0, :, 0:3], w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (3, K)
 
-        ca = scr[ROW_CA:ROW_CA + 1, :]
-        cb = scr[ROW_CB:ROW_CB + 1, :]
-        cc = scr[ROW_CC:ROW_CC + 1, :]
+        ca = scr[slot, ROW_CA:ROW_CA + 1, :]
+        cb = scr[slot, ROW_CB:ROW_CB + 1, :]
+        cc = scr[slot, ROW_CC:ROW_CC + 1, :]
         q = dl_dg * (-0.5 * g)  # (P, K)
         # power = ca dx^2 + 2 cb dx dy + cc dy^2; d(delta)/d(center) = -1
         d_cx = -jnp.sum(q * (2.0 * ca * dx + 2.0 * cb * dy), axis=0,
@@ -254,20 +294,17 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
         d_cb = jnp.sum(q * 2.0 * dx * dy, axis=0, keepdims=True)
         d_cc = jnp.sum(q * dy * dy, axis=0, keepdims=True)
 
-        dscr[ROW_CX:ROW_CX + 1, :] = d_cx
-        dscr[ROW_CY:ROW_CY + 1, :] = d_cy
-        dscr[ROW_CA:ROW_CA + 1, :] = d_ca
-        dscr[ROW_CB:ROW_CB + 1, :] = d_cb
-        dscr[ROW_CC:ROW_CC + 1, :] = d_cc
-        dscr[ROW_R:ROW_B + 1, :] = d_col
-        dscr[ROW_OP:ROW_OP + 1, :] = d_op
-        dscr[ROW_EX:NUM_ROWS, :] = jnp.zeros((NUM_ROWS - ROW_EX, k),
-                                             jnp.float32)
+        dscr[slot, ROW_CX:ROW_CX + 1, :] = d_cx
+        dscr[slot, ROW_CY:ROW_CY + 1, :] = d_cy
+        dscr[slot, ROW_CA:ROW_CA + 1, :] = d_ca
+        dscr[slot, ROW_CB:ROW_CB + 1, :] = d_cb
+        dscr[slot, ROW_CC:ROW_CC + 1, :] = d_cc
+        dscr[slot, ROW_R:ROW_B + 1, :] = d_col
+        dscr[slot, ROW_OP:ROW_OP + 1, :] = d_op
+        dscr[slot, ROW_EX:NUM_ROWS, :] = jnp.zeros((NUM_ROWS - ROW_EX, k),
+                                                   jnp.float32)
 
-        out_cp = pltpu.make_async_copy(
-            dscr, dout_ref.at[:, pl.ds(base, k)], dsem)
-        out_cp.start()
-        out_cp.wait()
+        out_dma(c, slot).start()
 
         log_t_un = log_t_un + jnp.sum(alog, axis=1, keepdims=True)
         cum_u = cum_u + jnp.sum(u, axis=1, keepdims=True)
@@ -281,13 +318,27 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
     done_c, _, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), zero_p1, zero_p1))
 
+    # drain pending gradient write-outs (up to 2) and, if the saturation
+    # early-exit fired, the prefetched input DMA
+    @pl.when(done_c >= 2)
+    def _():
+        out_dma(done_c - 2, done_c % 2).wait()
+
+    @pl.when(done_c >= 1)
+    def _():
+        out_dma(done_c - 1, (done_c - 1) % 2).wait()
+
+    @pl.when(done_c < nch)
+    def _():
+        chunk_dma(done_c, done_c % 2).wait()
+
     # chunks skipped by saturation early-exit still need zero gradients
-    dscr[:] = jnp.zeros((NUM_ROWS, k), jnp.float32)
+    dscr[0] = jnp.zeros((NUM_ROWS, k), jnp.float32)
 
     def zero_fill(c, _):
         base = pl.multiple_of(start + c * k, k)
-        cp = pltpu.make_async_copy(dscr, dout_ref.at[:, pl.ds(base, k)],
-                                   dsem)
+        cp = pltpu.make_async_copy(dscr.at[0], dout_ref.at[:, pl.ds(base, k)],
+                                   dsem.at[0])
         cp.start()
         cp.wait()
         return 0
@@ -309,8 +360,8 @@ def _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
         out_specs=pl.BlockSpec((1, p, NUM_OUT), lambda i, offs: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NUM_ROWS, k), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, NUM_ROWS, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_fwd_kernel, ntx=num_tiles_x,
@@ -341,10 +392,10 @@ def _backward_impl(attrs16, tile_offsets, fwd_out, gpix, num_tiles_x,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((NUM_ROWS, k), jnp.float32),
-            pltpu.VMEM((NUM_ROWS, k), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, NUM_ROWS, k), jnp.float32),
+            pltpu.VMEM((2, NUM_ROWS, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_bwd_kernel, ntx=num_tiles_x,
