@@ -182,3 +182,20 @@ def test_trainer_with_densify_runs():
     assert trainer.num_points != start_points or True  # event ran
     # capacity respected
     assert int(trainer.scene.num_alive()) == trainer.num_points
+
+
+def test_trainer_evaluate():
+    w, h = 32, 32
+    gt = random_scene(12, seed=40)
+    gt = gt.replace(opacity_logits=gt.opacity_logits + 2.0)
+    cam = default_camera(w, h, position=(0, 0, -5.0))
+    img = np.asarray(render(gt, cam, w, h, SETTINGS).image)
+    fy = 0.5 * h / np.tan(np.radians(45.0) / 2)
+    cams = [CameraData(id=0, position=np.array([0, 0, -5.0], np.float32),
+                       rotation=np.eye(3, dtype=np.float32), fx=fy, fy=fy,
+                       width=w, height=h, img_name="a.png")]
+    images = [{"name": "a.png", "image": img, "width": w, "height": h}]
+    trainer = Trainer(gt, cams, images, TrainerConfig(), SETTINGS)
+    m = trainer.evaluate()
+    assert m["views"] == 1
+    assert m["psnr"] > 45.0  # same scene: near-perfect reconstruction

@@ -213,6 +213,26 @@ class Trainer:
         nxt = s.warmup_iterations + k * interval
         return nxt if nxt <= s.stop_iterations else None
 
+    def evaluate(self, max_views: int | None = None) -> dict:
+        """Mean PSNR / L1 over the dataset views — quality reporting the
+        reference never had (SURVEY.md section 5: no PSNR/SSIM anywhere)."""
+        from webdgs_tpu.ops.loss import loss_metrics
+
+        psnrs, l1s = [], []
+        count = 0
+        for (w, h), g in self.groups.items():
+            for i in range(g["count"]):
+                if max_views is not None and count >= max_views:
+                    break
+                cam = jax.tree.map(lambda x: x[i], g["cams"])
+                img = render(self.scene, cam, w, h, self.settings).image
+                m = loss_metrics(img, g["imgs"][i], self.config.loss)
+                psnrs.append(float(m["psnr"]))
+                l1s.append(float(m["l1"]))
+                count += 1
+        return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s)),
+                "views": count}
+
     def render_view(self, index: int):
         """Render one dataset view at full resolution."""
         flat = [(res, g, i) for res, g in self.groups.items()
