@@ -77,6 +77,8 @@ class Trainer:
         self.opt_state = init_adam_state(self.scene.params())
 
         self.iteration = 0
+        self._entry_cap_value: int | None = None
+        self._entry_cap_peak = 0.0
         self.step_ms = 0.0
         self.iters_per_sec = 0.0
         self.last_densify_iteration: int | None = None
@@ -94,14 +96,38 @@ class Trainer:
 
     @functools.cached_property
     def _indexed_step(self):
-        @functools.partial(jax.jit, static_argnames=("img_w", "img_h"))
-        def run(scene, opt_state, cams, imgs, idx, img_w, img_h):
+        @functools.partial(jax.jit,
+                           static_argnames=("img_w", "img_h", "entry_cap"))
+        def run(scene, opt_state, cams, imgs, idx, img_w, img_h, entry_cap):
             camera = jax.tree.map(lambda x: x[idx], cams)
             return train_step(
                 scene, opt_state, camera, imgs[idx], img_w=img_w,
                 img_h=img_h, loss_cfg=self.config.loss, hp=self.config.adam,
-                settings=self.settings)
+                settings=self.settings, entry_capacity=entry_cap)
         return run
+
+    # adaptive tile-entry capacity: the static budget every O(entries) op
+    # (sort, gathers, kernels) is sized by.  Starts at the reference-style
+    # heuristic, then follows the observed per-frame entry count with head-
+    # room (one readback + possible recompile every `interval` steps).
+    ENTRY_CAP_INTERVAL = 50
+    ENTRY_CAP_HEADROOM = 1.5
+
+    def _entry_cap(self) -> int | None:
+        return self._entry_cap_value
+
+    def _maybe_adapt_entry_cap(self, metrics) -> None:
+        if self.iteration % self.ENTRY_CAP_INTERVAL:
+            return
+        observed = float(metrics["tile_entries"])
+        self._entry_cap_peak = max(self._entry_cap_peak, observed)
+        chunk = self.settings.chunk
+        want = int(self._entry_cap_peak * self.ENTRY_CAP_HEADROOM)
+        want = max(-(-want // chunk) * chunk, chunk * 8)
+        cur = self._entry_cap_value
+        # grow whenever short on headroom; shrink only when far oversized
+        if cur is None or want > cur or want < cur // 2:
+            self._entry_cap_value = want
 
     def step(self) -> dict:
         """One training iteration (trainer.ts:568-660)."""
@@ -111,8 +137,9 @@ class Trainer:
 
         self.scene, self.opt_state, metrics = self._indexed_step(
             self.scene, self.opt_state, g["cams"], g["imgs"],
-            jnp.int32(idx), w, h)
+            jnp.int32(idx), w, h, self._entry_cap())
         self.iteration += 1
+        self._maybe_adapt_entry_cap(metrics)
 
         next_it = self.iteration
         if self.config.densify.schedule.should_densify(next_it):
