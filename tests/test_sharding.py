@@ -81,3 +81,35 @@ def test_dp_train_step_matches_single(mesh):
             np.asarray(new_scene.params()[k]), np.asarray(ref_params[k]),
             rtol=2e-4, atol=2e-6, err_msg=k)
     assert np.isfinite(float(loss))
+
+
+def test_trainer_with_mesh(mesh):
+    import numpy as np
+    from webdgs_tpu.core.camera import CameraData, default_camera
+    from webdgs_tpu.render.renderer import render
+    from webdgs_tpu.train.config import (DensifyPruneConfig, DensifySchedule,
+                                         TrainerConfig)
+    from webdgs_tpu.train.trainer import Trainer
+    from tests.test_render_forward import random_scene
+
+    w = h = 32
+    gt = random_scene(12, seed=50)
+    gt = gt.replace(opacity_logits=gt.opacity_logits + 2.0)
+    fy = 0.5 * h / np.tan(np.radians(45.0) / 2)
+    cams, imgs = [], []
+    for i in range(4):
+        pos = (0.2 * i, 0.0, -5.0)
+        cam = default_camera(w, h, position=pos)
+        img = np.asarray(render(gt, cam, w, h, SETTINGS).image)
+        cams.append(CameraData(id=i, position=np.asarray(pos, np.float32),
+                               rotation=np.eye(3, dtype=np.float32),
+                               fx=fy, fy=fy, width=w, height=h,
+                               img_name=f"v{i}.png"))
+        imgs.append({"name": f"v{i}.png", "image": img, "width": w,
+                     "height": h})
+    cfg = TrainerConfig(
+        densify=DensifyPruneConfig(schedule=DensifySchedule(enabled=False)))
+    trainer = Trainer(random_scene(8, seed=51), cams, imgs, cfg, SETTINGS,
+                      initial_capacity=16, mesh=mesh)
+    losses = [float(trainer.step()["loss"]) for _ in range(3)]
+    assert all(np.isfinite(losses))

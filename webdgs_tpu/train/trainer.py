@@ -49,13 +49,18 @@ class Trainer:
     def __init__(self, scene: GaussianScene, cameras: list[CameraData],
                  images: list[dict], config: TrainerConfig = TrainerConfig(),
                  settings: RenderSettings = DEFAULT_SETTINGS,
-                 initial_capacity: int | None = None):
+                 initial_capacity: int | None = None,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh; when given, every step
+        trains on a view batch of mesh-size views data-parallel across the
+        devices (gradients psum-reduced over ICI)."""
         if len(cameras) != len(images):
             raise ValueError(
                 f"cameras ({len(cameras)}) and images ({len(images)}) must "
                 "pair by index")
         self.config = config
         self.settings = settings
+        self.mesh = mesh
         self.rng = random.Random(config.seed)
         self.key = jax.random.PRNGKey(config.seed)
 
@@ -129,17 +134,41 @@ class Trainer:
         if cur is None or want > cur or want < cur // 2:
             self._entry_cap_value = want
 
+    @functools.cached_property
+    def _indexed_dp_step(self):
+        from webdgs_tpu.parallel.sharding import dp_train_step
+
+        @functools.partial(jax.jit, static_argnames=("img_w", "img_h"))
+        def run(scene, opt_state, cams, imgs, idxs, img_w, img_h):
+            cam_batch = jax.tree.map(lambda x: x[idxs], cams)
+            return dp_train_step(
+                scene, opt_state, cam_batch, imgs[idxs], self.mesh,
+                img_w=img_w, img_h=img_h, loss_cfg=self.config.loss,
+                hp=self.config.adam, settings=self.settings)
+        return run
+
     def step(self) -> dict:
         """One training iteration (trainer.ts:568-660)."""
         t0 = time.perf_counter()
         (w, h), g = self._pick_group()
-        idx = self.rng.randrange(g["count"])
 
-        self.scene, self.opt_state, metrics = self._indexed_step(
-            self.scene, self.opt_state, g["cams"], g["imgs"],
-            jnp.int32(idx), w, h, self._entry_cap())
-        self.iteration += 1
-        self._maybe_adapt_entry_cap(metrics)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            d = self.mesh.devices.size
+            idxs = jnp.asarray(
+                [self.rng.randrange(g["count"]) for _ in range(d)],
+                dtype=jnp.int32)
+            self.scene, self.opt_state, loss = self._indexed_dp_step(
+                self.scene, self.opt_state, g["cams"], g["imgs"], idxs,
+                w, h)
+            metrics = {"loss": loss}
+            self.iteration += 1
+        else:
+            idx = self.rng.randrange(g["count"])
+            self.scene, self.opt_state, metrics = self._indexed_step(
+                self.scene, self.opt_state, g["cams"], g["imgs"],
+                jnp.int32(idx), w, h, self._entry_cap())
+            self.iteration += 1
+            self._maybe_adapt_entry_cap(metrics)
 
         next_it = self.iteration
         if self.config.densify.schedule.should_densify(next_it):
