@@ -122,3 +122,29 @@ def test_training_converges_smoke():
     first = np.mean(losses[:5])
     last = np.mean(losses[-5:])
     assert last < 0.6 * first, f"loss did not converge: {first} -> {last}"
+
+
+def test_position_lr_decay_option():
+    rng = np.random.default_rng(2)
+    n = 4
+    params = {
+        "means": jnp.asarray(rng.normal(0, 1, (n, 3)).astype(np.float32)),
+        "quats": jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32)),
+        "log_scales": jnp.zeros((n, 3), jnp.float32),
+        "opacity_logits": jnp.zeros((n,), jnp.float32),
+        "sh": jnp.zeros((n, 16, 3), jnp.float32),
+    }
+    grads = jax.tree.map(lambda p: jnp.ones_like(p), params)
+    counts = jnp.ones((n,), jnp.int32)
+    hp = AdamHyperparameters(lr_pos_final=1.6e-6, lr_pos_decay_steps=100)
+    state = init_adam_state(params)
+    # at late iterations the position step shrinks toward lr_pos_final
+    state_late = state.replace(iteration=jnp.int32(99))
+    p_early, _ = adam_step(params, grads, state, hp, counts)
+    p_late, _ = adam_step(params, grads, state_late, hp, counts)
+    d_early = np.abs(np.asarray(p_early["means"] - params["means"])).mean()
+    d_late = np.abs(np.asarray(p_late["means"] - params["means"])).mean()
+    assert d_late < d_early * 0.05
+    # other groups unaffected by the schedule
+    np.testing.assert_allclose(np.asarray(p_early["log_scales"]),
+                               np.asarray(p_late["log_scales"]))

@@ -41,6 +41,10 @@ class AdamHyperparameters:
     bias_correction: bool = False
     full_sh: bool = False
     sh_rest_lr_scale: float = 0.05
+    # optional canonical-3DGS exponential position-lr decay (the reference
+    # has no schedule at all, SURVEY.md Q3); 0 disables
+    lr_pos_final: float = 0.0
+    lr_pos_decay_steps: int = 30_000
 
     def group_lrs(self) -> dict[str, float]:
         return {
@@ -76,6 +80,12 @@ def adam_step(
     visible = tile_counts > 0  # (N,)
     it = state.iteration + 1
 
+    lr_pos = hp.lr_pos
+    if hp.lr_pos_final > 0.0:
+        frac = jnp.clip(it.astype(jnp.float32) / hp.lr_pos_decay_steps,
+                        0.0, 1.0)
+        lr_pos = hp.lr_pos * (hp.lr_pos_final / hp.lr_pos) ** frac
+
     if hp.bias_correction:
         t = it.astype(jnp.float32)
         corr1 = 1.0 - hp.beta1 ** t
@@ -88,8 +98,9 @@ def adam_step(
     for key in params:
         p, g = params[key], grads[key]
         m, v = state.m[key], state.v[key]
-        lr = jnp.full(p.shape[1:] if p.ndim > 1 else (), lrs[key],
-                      dtype=p.dtype)
+        lr_val = lr_pos if key == "means" else lrs[key]
+        lr = lr_val * jnp.ones(p.shape[1:] if p.ndim > 1 else (),
+                               dtype=p.dtype)
         if key == "sh":
             if hp.full_sh:
                 band = jnp.concatenate([
