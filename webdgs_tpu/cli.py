@@ -81,7 +81,9 @@ def cmd_train(args):
             lr_pos=args.lr_pos, lr_color=args.lr_color,
             lr_opacity=args.lr_opacity, lr_scale=args.lr_scale,
             lr_rot=args.lr_rot, full_sh=args.full_sh,
-            bias_correction=args.bias_correction),
+            bias_correction=args.bias_correction,
+            lr_pos_final=args.lr_pos_final,
+            lr_pos_decay_steps=args.iterations),
         densify=DensifyPruneConfig(
             schedule=DensifySchedule(
                 enabled=not args.no_densify,
@@ -181,6 +183,8 @@ def build_parser():
     t.add_argument("--lr-rot", type=float, default=0.001)
     t.add_argument("--full-sh", action="store_true",
                    help="train all SH bands (reference trains DC only)")
+    t.add_argument("--lr-pos-final", type=float, default=0.0,
+                   help="enable exponential position-lr decay to this value")
     t.add_argument("--bias-correction", action="store_true",
                    help="enable Adam bias correction (reference omits it)")
     # densify (trainer.ts:147-164)
