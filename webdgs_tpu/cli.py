@@ -17,8 +17,6 @@ Flag names and defaults mirror the reference's slider surface
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import json
 import os
 import sys
 

@@ -20,7 +20,6 @@ Differences by design:
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import random
 import time
