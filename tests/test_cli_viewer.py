@@ -123,3 +123,42 @@ def test_pointcloud_render_mode():
     assert lit.any()
     np.testing.assert_allclose(img[lit][:, 0], img[lit][:, 1], atol=1e-5)
     assert (img[lit][:, 2] < 1e-5).all()
+
+
+def test_config_json_and_resume(tmp_path):
+    from webdgs_tpu.train.config import TrainerConfig, load_trainer_config
+    cfg = load_trainer_config({"max_iterations": 42,
+                               "adam": {"lr_pos": 0.5},
+                               "densify": {"schedule": {"interval": 7}}})
+    assert cfg.max_iterations == 42
+    assert cfg.adam.lr_pos == 0.5
+    assert cfg.densify.schedule.interval == 7
+    assert cfg.densify.schedule.warmup_iterations == 500  # default kept
+    try:
+        load_trainer_config({"bogus": 1})
+        assert False
+    except ValueError as e:
+        assert "bogus" in str(e)
+
+    # resume restores iteration + state
+    from webdgs_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from webdgs_tpu.core.camera import CameraData
+    from webdgs_tpu.ops.adam import init_adam_state
+    from webdgs_tpu.train.trainer import Trainer
+    import numpy as np
+
+    w = h = 32
+    scene = random_scene(6, seed=60)
+    opt = init_adam_state(scene.params())
+    ck = tmp_path / "r.npz"
+    save_checkpoint(ck, scene, opt, iteration=77)
+    fy = 0.5 * h / np.tan(np.radians(45.0) / 2)
+    cams = [CameraData(id=0, position=np.zeros(3, np.float32),
+                       rotation=np.eye(3, dtype=np.float32), fx=fy, fy=fy,
+                       width=w, height=h)]
+    imgs = [{"name": "a", "image": np.zeros((h, w, 3), np.float32),
+             "width": w, "height": h}]
+    tr = Trainer(random_scene(3, seed=61), cams, imgs, TrainerConfig())
+    s2, o2, meta = load_checkpoint(ck)
+    tr.resume_from(s2, o2, meta["iteration"])
+    assert tr.iteration == 77 and tr.num_points == 6

@@ -98,8 +98,20 @@ def cmd_train(args):
         max_iterations=args.iterations,
         seed=args.seed)
 
+    if args.config:
+        from webdgs_tpu.train.config import load_trainer_config
+        cfg = load_trainer_config(args.config, base=cfg)
+
     trainer = Trainer(scene, cameras, images, cfg, _settings(args))
-    trainer.train(log_every=args.log_every)
+    if args.resume:
+        from webdgs_tpu.io.checkpoint import load_checkpoint
+        ck_scene, ck_opt, meta = load_checkpoint(args.resume)
+        trainer.resume_from(ck_scene, ck_opt, meta.get("iteration") or 0)
+        print(f"resumed from {args.resume} at iteration "
+              f"{trainer.iteration}")
+    trainer.train(log_every=args.log_every,
+                  checkpoint_every=args.checkpoint_every,
+                  checkpoint_path=args.out)
 
     if args.out:
         save_checkpoint(args.out, trainer.scene, trainer.opt_state,
@@ -169,6 +181,12 @@ def build_parser():
     t.add_argument("--log-every", type=int, default=100)
     t.add_argument("--out", default="checkpoint.npz")
     t.add_argument("--export-ply", default=None)
+    t.add_argument("--config", default=None,
+                   help="JSON file of deep-partial TrainerConfig overrides")
+    t.add_argument("--resume", default=None,
+                   help="checkpoint .npz to resume from")
+    t.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save --out every N iterations")
     # loss (trainer.ts:100-104)
     t.add_argument("--lambda-l1", type=float, default=0.8)
     t.add_argument("--lambda-l2", type=float, default=0.0)

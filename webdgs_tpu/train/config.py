@@ -64,3 +64,36 @@ class TrainerConfig:
     densify: DensifyPruneConfig = DensifyPruneConfig()
     max_iterations: int = 10_000  # src/trainer.ts:73
     seed: int = 0
+
+
+def _merge_dataclass(obj, updates: dict):
+    """Deep-partial update of nested frozen dataclasses, like the
+    reference's setters accept deep partials (trainer.ts:248-283)."""
+    kwargs = {}
+    for f in dataclasses.fields(obj):
+        if f.name not in updates:
+            continue
+        val = updates[f.name]
+        cur = getattr(obj, f.name)
+        if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+            val = _merge_dataclass(cur, val)
+        kwargs[f.name] = val
+    unknown = set(updates) - {f.name for f in dataclasses.fields(obj)}
+    if unknown:
+        raise ValueError(f"unknown config keys for "
+                         f"{type(obj).__name__}: {sorted(unknown)}")
+    return dataclasses.replace(obj, **kwargs)
+
+
+def load_trainer_config(path_or_dict,
+                        base: TrainerConfig | None = None) -> TrainerConfig:
+    """Build a TrainerConfig from a JSON file or dict of deep-partial
+    overrides over the defaults."""
+    import json
+
+    if isinstance(path_or_dict, dict):
+        updates = path_or_dict
+    else:
+        with open(path_or_dict) as f:
+            updates = json.load(f)
+    return _merge_dataclass(base or TrainerConfig(), updates)

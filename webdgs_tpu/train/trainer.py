@@ -307,17 +307,52 @@ class Trainer:
         return jnp.abs(pixel_loss_gradient(img, g["imgs"][i],
                                            self.config.loss))
 
+    def resume_from(self, scene, opt_state, iteration: int) -> None:
+        """Restore training state from a checkpoint (the reference cannot
+        resume at all — a page reload loses everything, SURVEY.md sec 5)."""
+        cap = _round_capacity(scene.capacity)
+        self.scene = scene.pad_to(cap)
+        if opt_state is not None:
+            pad = cap - opt_state.m["means"].shape[0]
+            if pad > 0:
+                opt_state = AdamState(
+                    m={k: jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
+                       for k, v in opt_state.m.items()},
+                    v={k: jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
+                       for k, v in opt_state.v.items()},
+                    iteration=opt_state.iteration)
+            self.opt_state = opt_state
+        else:
+            self.opt_state = init_adam_state(self.scene.params())
+        self.iteration = int(iteration)
+        self.num_points = int(self.scene.num_alive())
+
     def train(self, num_iterations: int | None = None,
-              log_every: int = 100, log_fn=print) -> dict:
-        n = num_iterations or self.config.max_iterations
-        for _ in range(n):
-            metrics = self.step()
-            if log_every and self.iteration % log_every == 0 and log_fn:
-                log_fn(f"iter {self.iteration}: "
-                       f"loss={float(metrics['loss']):.4f} "
-                       f"psnr={float(metrics['psnr']):.2f} "
-                       f"points={self.num_points} "
-                       f"({self.iters_per_sec:.1f} it/s)")
-            if self.iteration >= self.config.max_iterations:
-                break
+              log_every: int = 100, log_fn=print,
+              checkpoint_every: int = 0,
+              checkpoint_path: str | None = None,
+              profile_dir: str | None = None) -> dict:
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        try:
+            n = num_iterations or self.config.max_iterations
+            for _ in range(n):
+                metrics = self.step()
+                if log_every and self.iteration % log_every == 0 and log_fn:
+                    log_fn(f"iter {self.iteration}: "
+                           f"loss={float(metrics['loss']):.4f} "
+                           f"psnr={float(metrics['psnr']):.2f} "
+                           f"points={self.num_points} "
+                           f"({self.iters_per_sec:.1f} it/s)")
+                if (checkpoint_every and checkpoint_path
+                        and self.iteration % checkpoint_every == 0):
+                    from webdgs_tpu.io.checkpoint import save_checkpoint
+                    save_checkpoint(checkpoint_path, self.scene,
+                                    self.opt_state,
+                                    iteration=self.iteration)
+                if self.iteration >= self.config.max_iterations:
+                    break
+        finally:
+            if profile_dir:
+                jax.profiler.stop_trace()
         return {k: float(v) for k, v in self.last_metrics.items()}
