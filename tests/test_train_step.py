@@ -148,3 +148,17 @@ def test_position_lr_decay_option():
     # other groups unaffected by the schedule
     np.testing.assert_allclose(np.asarray(p_early["log_scales"]),
                                np.asarray(p_late["log_scales"]))
+
+
+def test_gaussian_ssim_metric():
+    from webdgs_tpu.ops.loss import ssim
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.random((40, 32, 3)).astype(np.float32))
+    assert abs(float(ssim(a, a)) - 1.0) < 1e-4
+    b = jnp.asarray(rng.random((40, 32, 3)).astype(np.float32))
+    v = float(ssim(a, b))
+    assert -0.2 < v < 0.5  # unrelated noise: low similarity
+    # slightly noisy copy: high but < 1
+    c = a + jnp.asarray(rng.normal(0, 0.02, a.shape).astype(np.float32))
+    vc = float(ssim(a, c))
+    assert 0.8 < vc < 1.0

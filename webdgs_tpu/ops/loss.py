@@ -94,3 +94,36 @@ def loss_metrics(pred: jax.Array, target: jax.Array,
 def psnr(pred: jax.Array, target: jax.Array) -> jax.Array:
     mse = jnp.mean(jnp.square(pred - target))
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+def ssim(pred: jax.Array, target: jax.Array, window: int = 11,
+         sigma: float = 1.5, c1: float = 0.01 ** 2,
+         c2: float = 0.03 ** 2) -> jax.Array:
+    """Standard Gaussian-window SSIM (Wang et al.) for quality reporting.
+    The 5x5 uniform-window variant in ssim_map exists only for parity with
+    the reference's loss kernel."""
+    half = window // 2
+    x = jnp.arange(window, dtype=jnp.float32) - half
+    g = jnp.exp(-0.5 * (x / sigma) ** 2)
+    g = g / jnp.sum(g)
+
+    def blur(img):
+        pad = [(half, half), (half, half), (0, 0)]
+        v = jnp.pad(img, pad, mode="edge")
+        v = v.transpose(2, 0, 1)[:, None]  # (C, 1, H', W')
+        v = jax.lax.conv_general_dilated(
+            v, g.reshape(1, 1, window, 1), (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        v = jax.lax.conv_general_dilated(
+            v, g.reshape(1, 1, 1, window), (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return v[:, 0].transpose(1, 2, 0)
+
+    mu_x = blur(pred)
+    mu_y = blur(target)
+    sigma_x2 = blur(pred * pred) - mu_x * mu_x
+    sigma_y2 = blur(target * target) - mu_y * mu_y
+    sigma_xy = blur(pred * target) - mu_x * mu_y
+    num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    den = (mu_x ** 2 + mu_y ** 2 + c1) * (sigma_x2 + sigma_y2 + c2)
+    return jnp.mean(num / den)

@@ -271,9 +271,9 @@ class Trainer:
     def evaluate(self, max_views: int | None = None) -> dict:
         """Mean PSNR / L1 over the dataset views — quality reporting the
         reference never had (SURVEY.md section 5: no PSNR/SSIM anywhere)."""
-        from webdgs_tpu.ops.loss import loss_metrics
+        from webdgs_tpu.ops.loss import loss_metrics, ssim
 
-        psnrs, l1s = [], []
+        psnrs, l1s, ssims = [], [], []
         count = 0
         for (w, h), g in self.groups.items():
             for i in range(g["count"]):
@@ -284,9 +284,10 @@ class Trainer:
                 m = loss_metrics(img, g["imgs"][i], self.config.loss)
                 psnrs.append(float(m["psnr"]))
                 l1s.append(float(m["l1"]))
+                ssims.append(float(ssim(img, g["imgs"][i])))
                 count += 1
         return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s)),
-                "views": count}
+                "ssim": float(np.mean(ssims)), "views": count}
 
     def render_view(self, index: int):
         """Render one dataset view at full resolution."""
