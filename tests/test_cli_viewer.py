@@ -162,3 +162,35 @@ def test_config_json_and_resume(tmp_path):
     s2, o2, meta = load_checkpoint(ck)
     tr.resume_from(s2, o2, meta["iteration"])
     assert tr.iteration == 77 and tr.num_points == 6
+
+
+def test_viewer_server_endpoints(tmp_path):
+    import threading
+    import urllib.request
+
+    from webdgs_tpu.render.server import ViewerServer, make_http_server
+
+    scene = random_scene(8, seed=70)
+    viewer = Viewer(scene, 32, 32)
+    viewer.control.position = np.array([0, 0, -5.0], np.float32)
+    vs = ViewerServer(viewer)
+    server = make_http_server(vs, "127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/").read()
+        assert b"webdgs_tpu" in html
+        jpg = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame.jpg").read()
+        assert jpg[:2] == b"\xff\xd8"  # JPEG magic
+        pos0 = viewer.control.position.copy()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/control",
+            data=b'{"move": [true,false,false,false,false,false], "dt": 0.5}',
+            method="POST")
+        urllib.request.urlopen(req)
+        assert not np.allclose(viewer.control.position, pos0)
+    finally:
+        server.shutdown()

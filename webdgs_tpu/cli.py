@@ -151,6 +151,18 @@ def cmd_export(args):
     print(f"exported {n} splats -> {args.out}")
 
 
+def cmd_serve(args):
+    import numpy as np
+    from webdgs_tpu.render.server import ViewerServer
+    from webdgs_tpu.render.viewer import Viewer
+
+    scene = _load_scene_any(args.scene)
+    viewer = Viewer(scene, args.width, args.height, _settings(args))
+    if args.position:
+        viewer.control.position = np.asarray(args.position, np.float32)
+    ViewerServer(viewer).serve(port=args.port, host=args.host)
+
+
 def cmd_bench(args):
     import bench
     bench.main()
@@ -230,6 +242,15 @@ def build_parser():
     e.add_argument("scene")
     e.add_argument("--out", required=True)
     e.set_defaults(fn=cmd_export)
+
+    sv = sub.add_parser("serve", help="interactive browser viewer "
+                        "(JPEG stream + fly controls)")
+    sv.add_argument("scene")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--position", type=float, nargs=3, default=None)
+    _add_common_render_args(sv)
+    sv.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.set_defaults(fn=cmd_bench)
