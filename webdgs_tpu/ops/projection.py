@@ -94,7 +94,13 @@ def project_gaussians(
     img_h: int,
     sh_deg: int,
     settings: RenderSettings,
+    detach_color: bool = False,
 ) -> tuple[SplatAttrs, SplatAux]:
+    """``detach_color``: stop gradients through the SH color evaluation
+    (both into the coefficients and into positions via the view direction).
+    The reference's backward has no color->geometry path and its SH DC
+    gradient is routed separately (tiled-backward.wgsl; SURVEY.md Q2), so
+    parity training sets this and skips the whole SH backward."""
     means = params["means"]
     quats = params["quats"]
     log_scales = params["log_scales"]
@@ -206,7 +212,11 @@ def project_gaussians(
     # --- SH color (tiled-forward.wgsl:258-261, clamp at :284-285) ---
     rel = means - camera.cam_pos
     norm = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1, keepdims=True), 1e-24))
-    color = jnp.clip(eval_sh_color(sh, rel / norm, sh_deg), 0.0, 1.0)
+    sh_in, dirs = sh, rel / norm
+    if detach_color:
+        sh_in = jax.lax.stop_gradient(sh_in)
+        dirs = jax.lax.stop_gradient(dirs)
+    color = jnp.clip(eval_sh_color(sh_in, dirs, sh_deg), 0.0, 1.0)
 
     attrs = SplatAttrs(
         center_px=center_px,

@@ -332,18 +332,33 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
     def _():
         chunk_dma(done_c, done_c % 2).wait()
 
-    # chunks skipped by saturation early-exit still need zero gradients
+    # chunks skipped by saturation early-exit still need zero gradients;
+    # both scratch slots hold zeros so the fill DMAs can be double-buffered
     dscr[0] = jnp.zeros((NUM_ROWS, k), jnp.float32)
+    dscr[1] = jnp.zeros((NUM_ROWS, k), jnp.float32)
+
+    def zfill_dma(c):
+        base = pl.multiple_of(start + c * k, k)
+        slot = c % 2
+        return pltpu.make_async_copy(
+            dscr.at[slot], dout_ref.at[:, pl.ds(base, k)], dsem.at[slot])
 
     def zero_fill(c, _):
-        base = pl.multiple_of(start + c * k, k)
-        cp = pltpu.make_async_copy(dscr.at[0], dout_ref.at[:, pl.ds(base, k)],
-                                   dsem.at[0])
-        cp.start()
-        cp.wait()
+        @pl.when(c >= done_c + 2)
+        def _():
+            zfill_dma(c - 2).wait()
+        zfill_dma(c).start()
         return 0
 
     jax.lax.fori_loop(done_c, nch, zero_fill, 0)
+
+    @pl.when(nch - done_c >= 2)
+    def _():
+        zfill_dma(nch - 2).wait()
+
+    @pl.when(nch - done_c >= 1)
+    def _():
+        zfill_dma(nch - 1).wait()
 
 
 def _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,

@@ -57,7 +57,8 @@ def compute_param_grads(scene: GaussianScene, camera: Camera,
 
     def proj_fn(p):
         attrs, aux = project_gaussians(p, scene.alive, camera, img_w, img_h,
-                                       scene.sh_deg, settings)
+                                       scene.sh_deg, settings,
+                                       detach_color=parity_sh)
         return attrs, aux
 
     attrs, vjp_proj, aux = jax.vjp(proj_fn, params, has_aux=True)
