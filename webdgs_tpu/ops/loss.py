@@ -39,19 +39,17 @@ class LossConfig:
 
 def _window_mean(x: jax.Array, half: int = 2) -> jax.Array:
     """5x5 uniform window mean with edge-replicated sampling, matching the
-    reference's clamped textureLoad (loss.wgsl:20-28).  Separable: two 1D
-    convolutions instead of a 25-tap reduce_window."""
+    reference's clamped textureLoad (loss.wgsl:20-28).  reduce_window
+    measured faster than separable convs for this size on v5e."""
+    pad = [(half, half), (half, half), (0, 0)]
+    xp = jnp.pad(x, pad, mode="edge")
     win = 2 * half + 1
-    ker = jnp.full((win,), 1.0 / win, x.dtype)
-    v = jnp.pad(x, [(half, half), (half, half), (0, 0)], mode="edge")
-    v = v.transpose(2, 0, 1)[:, None]  # (C, 1, H', W')
-    v = jax.lax.conv_general_dilated(
-        v, ker.reshape(1, 1, win, 1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    v = jax.lax.conv_general_dilated(
-        v, ker.reshape(1, 1, 1, win), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return v[:, 0].transpose(1, 2, 0)
+    s = jax.lax.reduce_window(
+        xp, 0.0, jax.lax.add,
+        window_dimensions=(win, win, 1),
+        window_strides=(1, 1, 1),
+        padding="VALID")
+    return s / (win * win)
 
 
 def ssim_map(pred: jax.Array, target: jax.Array,
