@@ -49,9 +49,17 @@ def main():
     target = render(scene, cam, w, h, settings).image
     opt = init_adam_state(scene.params())
 
+    # entry capacity at 1.5x the observed per-frame entries, matching the
+    # Trainer's adaptive budget after warmup
+    _, _, m0 = train_step(scene, opt, cam, target, img_w=w, img_h=h,
+                          settings=settings)
+    observed = float(m0["tile_entries"])
+    cap = max(-int(-observed * 1.5 // settings.chunk) * settings.chunk,
+              settings.chunk * 8)
+
     def step(s, o):
         return train_step(s, o, cam, target, img_w=w, img_h=h,
-                          settings=settings)
+                          settings=settings, entry_capacity=cap)
 
     s, o, _ = step(scene, opt)  # compile
     _ = float(jnp.sum(s.means))  # sync
