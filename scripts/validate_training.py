@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--gt-points", type=int, default=20_000)
     ap.add_argument("--init-points", type=int, default=4_000)
     ap.add_argument("--no-densify", action="store_true")
+    ap.add_argument("--improved", action="store_true",
+                    help="enable the non-parity improvements: full-SH "
+                         "training, Adam bias correction, position-lr decay")
     ap.add_argument("--out", default=None, help="write result JSON here")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (for quick logic checks)")
@@ -95,7 +98,14 @@ def main():
         colors=np.clip(rng.normal(0.5, 0.25, (len(sel), 3)), 0,
                        1).astype(np.float32))
 
+    from webdgs_tpu.ops.adam import AdamHyperparameters
+    adam = AdamHyperparameters()
+    if args.improved:
+        adam = AdamHyperparameters(full_sh=True, bias_correction=True,
+                                   lr_pos_final=1.6e-6,
+                                   lr_pos_decay_steps=args.iters)
     cfg = TrainerConfig(
+        adam=adam,
         densify=DensifyPruneConfig(
             schedule=DensifySchedule(enabled=not args.no_densify,
                                      warmup_iterations=300, interval=100,
