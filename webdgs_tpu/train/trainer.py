@@ -60,6 +60,14 @@ class Trainer:
         self.config = config
         self.settings = settings
         self.mesh = mesh
+        lam = (config.loss.lambda_l1 + config.loss.lambda_l2
+               + config.loss.lambda_dssim)
+        if not 0.99 <= lam <= 1.01:
+            # the reference warns when the loss weights do not sum to 1
+            # (src/main.ts:301-321)
+            import warnings
+            warnings.warn(f"loss weights sum to {lam:.3f}, expected ~1.0",
+                          stacklevel=2)
         self.rng = random.Random(config.seed)
         self.key = jax.random.PRNGKey(config.seed)
 
