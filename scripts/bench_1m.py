@@ -1,0 +1,51 @@
+"""Scale point: 1M Gaussians, 800x600 — render fps and train step time."""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+def main():
+    import jax, jax.numpy as jnp
+    from webdgs_tpu.config import RenderSettings
+    from webdgs_tpu.core.camera import default_camera
+    from webdgs_tpu.core.scene import scene_from_arrays
+    from webdgs_tpu.ops.adam import init_adam_state
+    from webdgs_tpu.render.renderer import render
+    from webdgs_tpu.train.step import train_step
+
+    n = 1_000_000
+    w, h = 800, 600
+    rng = np.random.default_rng(0)
+    quats = rng.normal(0, 1, (n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    scene = scene_from_arrays(
+        rng.normal(0, 2.5, (n, 3)).astype(np.float32), quats=quats,
+        log_scales=rng.uniform(-5.5, -3.5, (n, 3)).astype(np.float32),
+        opacity_logits=rng.uniform(-2, 2, (n,)).astype(np.float32),
+        colors=rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    s = RenderSettings(chunk=128, avg_tiles_per_gaussian=6)
+    cam = default_camera(w, h, position=(0, 0, -10.0))
+
+    f = jax.jit(lambda sc: render(sc, cam, w, h, s).image)
+    img = f(scene); _ = float(jnp.sum(img))
+    t0 = time.perf_counter()
+    for _ in range(10): img = f(scene)
+    _ = float(jnp.sum(img))
+    dt = (time.perf_counter()-t0)/10
+    print(f"render 1M: {dt*1e3:.1f} ms/frame ({1/dt:.1f} fps, "
+          f"{w*h/dt/1e6:.1f} Mpix/s)", flush=True)
+
+    target = img
+    opt = init_adam_state(scene.params())
+    sc, o, m = train_step(scene, opt, cam, target, img_w=w, img_h=h, settings=s)
+    _ = float(jnp.sum(sc.means))
+    print(f"entries: {int(m['tile_entries'])} visible: {int(m['visible'])}",
+          flush=True)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        sc, o, m = train_step(sc, o, cam, target, img_w=w, img_h=h, settings=s)
+    _ = float(jnp.sum(sc.means))
+    dt = (time.perf_counter()-t0)/10
+    print(f"train 1M: {dt*1e3:.1f} ms/step ({1/dt:.2f} it/s)", flush=True)
+
+if __name__ == "__main__":
+    main()
