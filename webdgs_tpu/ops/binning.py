@@ -113,6 +113,12 @@ def bin_splats(aux: SplatAux, img_w: int, img_h: int,
     chunk = settings.chunk
     ntx, nty = tile_grid(img_w, img_h, settings)
     total_tiles = ntx * nty
+    if total_tiles >= 0xFFFF:
+        # tile ids share a u32 key with 16 depth bits, like the reference's
+        # (tile+1)<<16 keys (tiled-forward.wgsl:133-136): ~4K x 4K images max
+        raise ValueError(
+            f"{total_tiles} tiles exceeds the 16-bit tile-key limit; "
+            "increase tile size or shard the image")
     pad_cap = total_tiles * chunk
 
     # --- budget: drop whole Gaussians that would overflow the capacity ---
