@@ -113,3 +113,15 @@ def test_trainer_with_mesh(mesh):
                       initial_capacity=16, mesh=mesh)
     losses = [float(trainer.step()["loss"]) for _ in range(3)]
     assert all(np.isfinite(losses))
+
+
+def test_tile_sharded_more_devices_than_rows(mesh):
+    # H=32 -> 2 tile rows, 8 devices: most bands are empty padding
+    w, h = 48, 32
+    scene = random_scene(40, seed=24)
+    cam = default_camera(w, h, position=(0.0, 0.0, -5.0))
+    single = np.asarray(render(scene, cam, w, h, SETTINGS).image)
+    sharded = np.asarray(render_tile_sharded(scene, cam, w, h, mesh,
+                                             SETTINGS))
+    assert sharded.shape == (h, w, 3)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)
