@@ -40,12 +40,20 @@ def main():
     _ = float(jnp.sum(sc.means))
     print(f"entries: {int(m['tile_entries'])} visible: {int(m['visible'])}",
           flush=True)
+    # adaptive capacity like the Trainer: 1.5x observed entries
+    cap = max(-int(-float(m['tile_entries']) * 1.5 // s.chunk) * s.chunk,
+              s.chunk * 8)
+    sc, o, m = train_step(scene, opt, cam, target, img_w=w, img_h=h,
+                          settings=s, entry_capacity=cap)
+    _ = float(jnp.sum(sc.means))
     t0 = time.perf_counter()
     for _ in range(10):
-        sc, o, m = train_step(sc, o, cam, target, img_w=w, img_h=h, settings=s)
+        sc, o, m = train_step(sc, o, cam, target, img_w=w, img_h=h,
+                              settings=s, entry_capacity=cap)
     _ = float(jnp.sum(sc.means))
     dt = (time.perf_counter()-t0)/10
-    print(f"train 1M: {dt*1e3:.1f} ms/step ({1/dt:.2f} it/s)", flush=True)
+    print(f"train 1M (cap {cap}): {dt*1e3:.1f} ms/step ({1/dt:.2f} it/s)",
+          flush=True)
 
 if __name__ == "__main__":
     main()
