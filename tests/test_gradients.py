@@ -127,3 +127,28 @@ def test_end_to_end_finite_differences():
     assert np.median(rels) < 0.02, f"median rel err {np.median(rels):.4f}"
     assert np.mean(rels < 0.10) >= 0.9, f"too many outliers; worst {worst}"
     assert rels.max() < 0.35, f"gross mismatch: {worst}"
+
+
+def test_prefix_gradient_reduction_matches_scatter():
+    """The large-scale prefix-sum segment reduction must agree with the
+    default scatter-add transpose."""
+    n, w, h = 60, 48, 32
+    scene = random_scene(n, seed=13)
+    cam = default_camera(w, h, position=(0.0, 0.0, -5.0))
+    rng = np.random.default_rng(7)
+    wgt = jnp.asarray(rng.normal(0, 1, (h, w, 3)).astype(np.float32))
+
+    def loss_with(settings):
+        def loss(params):
+            s = scene.with_params(params)
+            from webdgs_tpu.render.renderer import render as rdr
+            res = rdr(s, cam, w, h, settings)
+            return jnp.sum(res.image * wgt)
+        return jax.grad(loss)(scene.params())
+
+    g_scatter = loss_with(RenderSettings(chunk=128))
+    g_prefix = loss_with(RenderSettings(chunk=128, grad_reduce_threshold=1))
+    for k in g_scatter:
+        np.testing.assert_allclose(
+            np.asarray(g_prefix[k]), np.asarray(g_scatter[k]),
+            rtol=5e-4, atol=5e-6, err_msg=k)

@@ -57,6 +57,11 @@ class RenderSettings:
     alpha_min: float = 1.0 / 255.0
     # Alpha clamp (tiled-rasterizer.wgsl:233).
     alpha_max: float = 0.99
+    # Above this entry capacity, per-Gaussian gradient accumulation switches
+    # from an XLA scatter-add (fast at small scale, catastrophic at large:
+    # 289 ms for 3.5M rows into 1M) to a prefix-sum segment reduction in
+    # expansion order (see ops/rasterize.pack_entry_attrs).
+    grad_reduce_threshold: int = 1_500_000
 
     @property
     def tile_px(self) -> int:

@@ -54,6 +54,11 @@ class Binning(NamedTuple):
     tile_offsets: jax.Array  # (T+1,) i32 — chunk-aligned entry ranges
     tile_counts: jax.Array  # (T,) i32 — real (unpadded) entries per tile
     total_entries: jax.Array  # () i32 — real entries across all tiles
+    # present when the sort carried the expansion-slot payload (the
+    # large-scale gradient-reduction path needs it): the pre-sort expansion
+    # index of each sorted slot, and the per-Gaussian valid entry counts
+    entry_source: jax.Array | None  # (A,) i32 or None
+    gauss_counts: jax.Array | None  # (N,) i32 or None
 
     @property
     def capacity(self) -> int:
@@ -107,7 +112,8 @@ def _tile_histogram(aux: SplatAux, keep: jax.Array, ntx: int, nty: int):
 
 def bin_splats(aux: SplatAux, img_w: int, img_h: int,
                settings: RenderSettings,
-               capacity: int | None = None) -> Binning:
+               capacity: int | None = None,
+               with_source: bool | None = None) -> Binning:
     n = aux.num_tiles.shape[0]
     e_cap = capacity if capacity is not None else entry_capacity(n, settings)
     chunk = settings.chunk
@@ -165,10 +171,19 @@ def bin_splats(aux: SplatAux, img_w: int, img_h: int,
         pad_used, (pad_tile.astype(jnp.uint32) << 16) | jnp.uint32(0xFFFF),
         jnp.uint32(0xFFFFFFFF))
 
+    if with_source is None:
+        with_source = e_cap >= settings.grad_reduce_threshold
+
     all_keys = jnp.concatenate([key, pad_key])
     all_gauss = jnp.concatenate([g, jnp.zeros((pad_cap,), jnp.int32)])
-    sorted_key, sorted_gauss = jax.lax.sort((all_keys, all_gauss),
-                                            num_keys=1)
+    if with_source:
+        source = jnp.arange(e_cap + pad_cap, dtype=jnp.int32)
+        sorted_key, sorted_gauss, sorted_source = jax.lax.sort(
+            (all_keys, all_gauss, source), num_keys=1)
+    else:
+        sorted_key, sorted_gauss = jax.lax.sort((all_keys, all_gauss),
+                                                num_keys=1)
+        sorted_source = None
     sorted_valid = (sorted_key & jnp.uint32(0xFFFF)) != jnp.uint32(0xFFFF)
 
     # aligned ranges are now a plain cumsum over tiles
@@ -184,4 +199,6 @@ def bin_splats(aux: SplatAux, img_w: int, img_h: int,
         tile_offsets=tile_offsets,
         tile_counts=tile_counts,
         total_entries=total,
+        entry_source=sorted_source,
+        gauss_counts=counts if with_source else None,
     )

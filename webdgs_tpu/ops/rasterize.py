@@ -457,20 +457,9 @@ def _rasterize_bwd(num_tiles_x, num_tiles_y, settings, residuals, g):
 rasterize_tiles.defvjp(_rasterize_fwd, _rasterize_bwd)
 
 
-def pack_entry_attrs(attrs, entry_gauss, entry_valid,
-                     settings: RenderSettings):
-    """Gather per-Gaussian SplatAttrs into chunk-aligned, depth-sorted
-    per-entry rows (16, A).
-
-    One (N,16) row-major pack + ONE vectorized row gather (TPU gathers cost
-    the same for a 64B row as for a scalar) + transpose.  Invalid/padding
-    entries are zeroed everywhere — opacity 0 makes them exact no-ops in the
-    compositor, and the zero mask keeps their cotangents out of Gaussian 0's
-    gradients.  The gather is differentiable; its transpose is the
-    deterministic per-Gaussian scatter-add of entry gradients.
-    """
+def _pack_per_gauss(attrs):
     n = attrs.opacity.shape[0]
-    per_gauss = jnp.concatenate([
+    return jnp.concatenate([
         attrs.center_px,  # 2
         attrs.conic,  # 3
         attrs.color,  # 3
@@ -478,8 +467,96 @@ def pack_entry_attrs(attrs, entry_gauss, entry_valid,
         attrs.extents,  # 2
         jnp.zeros((n, NUM_ROWS - 11), jnp.float32),
     ], axis=1)  # (N, 16); column order must match ROW_* constants
+
+
+def _gather_pack(per_gauss, entry_gauss, entry_valid):
     gathered = jnp.where(entry_valid[:, None], per_gauss[entry_gauss], 0.0)
     return gathered.T  # (16, A)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_pack_prefix(e_cap, per_gauss, entry_gauss, entry_valid,
+                        entry_source, gauss_counts):
+    return _gather_pack(per_gauss, entry_gauss, entry_valid)
+
+
+def _gather_pack_prefix_fwd(e_cap, per_gauss, entry_gauss, entry_valid,
+                            entry_source, gauss_counts):
+    out = _gather_pack(per_gauss, entry_gauss, entry_valid)
+    return out, (entry_valid, entry_source, gauss_counts)
+
+
+def _gather_pack_prefix_bwd(e_cap, res, g):
+    """Per-Gaussian gradient accumulation WITHOUT an XLA scatter-add.
+
+    Entries in expansion order are grouped by Gaussian (jnp.repeat emits
+    them in index order), so per-Gaussian sums are differences of an
+    inclusive prefix sum at segment boundaries.  The cotangent rows arrive
+    in tile-sorted slot order; ``entry_source`` maps each slot back to its
+    expansion index (real entries carry sources in [0, e_cap)), so its
+    unique-index inverse permutes them into expansion order.  f32
+    prefix-difference error is ~eps*sqrt(E/s) relative for a segment of
+    size s — ~2e-4 worst case, immaterial for SGD.
+    """
+    entry_valid, entry_source, gauss_counts = res
+    a_cap = entry_source.shape[0]
+
+    rows = jnp.where(entry_valid[:, None], g.T, 0.0)  # (A, 16)
+
+    # inverse permutation: expansion index -> slot.  Valid slots carry
+    # unique sources in [0, e_cap); invalid slots are redirected out of
+    # bounds and dropped.  Expansion indices with no valid slot keep the
+    # sentinel a_cap, which gathers the zero row below.
+    slot_ids = jnp.arange(a_cap, dtype=jnp.int32)
+    src = jnp.where(entry_valid, entry_source, e_cap)
+    inv = jnp.full((e_cap,), a_cap, jnp.int32)
+    inv = inv.at[src].set(slot_ids, mode="drop", unique_indices=True)
+
+    rows_pad = jnp.concatenate([rows, jnp.zeros((1, NUM_ROWS), jnp.float32)])
+    d_exp = rows_pad[inv]  # (E, 16) in expansion (gaussian-grouped) order
+
+    cum = jnp.cumsum(d_exp, axis=0)
+    cum_counts = jnp.cumsum(gauss_counts)
+    last = jnp.clip(cum_counts - 1, 0, e_cap - 1)
+    first = cum_counts - gauss_counts  # exclusive start
+    seg = cum[last] - jnp.where((first > 0)[:, None],
+                                cum[jnp.maximum(first - 1, 0)], 0.0)
+    d_per_gauss = jnp.where((gauss_counts > 0)[:, None], seg, 0.0)
+
+    def f0(x):
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    return (d_per_gauss, f0(entry_source), f0(entry_valid),
+            f0(entry_source), f0(gauss_counts))
+
+
+_gather_pack_prefix.defvjp(_gather_pack_prefix_fwd, _gather_pack_prefix_bwd)
+
+
+def pack_entry_attrs(attrs, entry_gauss, entry_valid,
+                     settings: RenderSettings, entry_source=None,
+                     gauss_counts=None, expansion_capacity: int | None = None):
+    """Gather per-Gaussian SplatAttrs into chunk-aligned, depth-sorted
+    per-entry rows (16, A).
+
+    One (N,16) row-major pack + ONE vectorized row gather (TPU gathers cost
+    the same for a 64B row as for a scalar) + transpose.  Invalid/padding
+    entries are zeroed everywhere — opacity 0 makes them exact no-ops in the
+    compositor, and the zero mask keeps their cotangents out of Gaussian 0's
+    gradients.
+
+    Gradient accumulation per Gaussian is the transpose of the gather: a
+    deterministic scatter-add by default, or — when ``entry_source`` /
+    ``gauss_counts`` are provided (large scale) — a prefix-sum segment
+    reduction that avoids XLA's slow large-scale scatter.
+    """
+    per_gauss = _pack_per_gauss(attrs)
+    if entry_source is not None and gauss_counts is not None:
+        assert expansion_capacity is not None
+        return _gather_pack_prefix(expansion_capacity, per_gauss,
+                                   entry_gauss, entry_valid, entry_source,
+                                   gauss_counts)
+    return _gather_pack(per_gauss, entry_gauss, entry_valid)
 
 
 def composite_background(tiles, settings: RenderSettings):
