@@ -58,6 +58,9 @@ class Viewer:
         # reference viewer setters (src/viewer.ts:90-100)
         self.render_mode = render_mode  # 'gaussian' | 'pointcloud'
         self.point_size_px = point_size_px
+        # adaptive tile-entry capacity, like the Trainer: sized from the
+        # first frame's observed entry count (one recompile when it changes)
+        self._entry_cap: int | None = None
 
     def set_render_mode(self, mode: str) -> None:
         if mode not in ("gaussian", "pointcloud"):
@@ -84,7 +87,13 @@ class Viewer:
                                 self.point_size_px)
             return np.asarray(img)
         res = render(self.scene, self.camera(), self.width, self.height,
-                     self.settings)
+                     self.settings, entry_capacity=self._entry_cap)
+        observed = int(res.binning.total_entries)
+        chunk = self.settings.chunk
+        want = max(-(-int(observed * 1.5) // chunk) * chunk, chunk * 8)
+        if self._entry_cap is None or want > self._entry_cap or \
+                want < self._entry_cap // 3:
+            self._entry_cap = want
         return np.asarray(res.image)
 
 
