@@ -29,9 +29,11 @@ division and reconstructs a running suffix, tiled-backward-rasterize.wgsl:
 where gamma_j = sum_ch g_ch c_{j,ch} (one small matmul) and U = gamma * w
 accumulates forward.  All per-splat gradient reductions over pixels are MXU
 contractions or sublane reductions; per-Gaussian accumulation happens
-outside the kernel through the transpose of the entry gather (a
-deterministic XLA scatter-add — the reference quantizes gradients to 1e-6
-fixed-point atomics instead, common.wgsl:110-121).
+outside the kernel — deterministically, where the reference quantizes
+gradients through 1e-6 fixed-point atomics (common.wgsl:110-121) — either
+as the XLA scatter-add transpose of the entry gather (small scale) or as a
+prefix-sum segment reduction in expansion order (large scale; see
+pack_entry_attrs).
 
 Alpha semantics (kept consistent between forward and backward, unlike the
 reference whose forward accumulates alphas below 1/255 that its backward
