@@ -112,8 +112,11 @@ def _tri_masks(k: int):
 
 
 def _prefix_mm(x, tri):
+    # HIGHEST: the MXU's default single-pass bf16 (0.4% rel) is too coarse
+    # for log-transmittance prefixes feeding the saturation threshold
     return jax.lax.dot_general(
         x, tri, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
 
 
@@ -172,6 +175,7 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
             axis=0)
         acc = acc + jax.lax.dot_general(
             w, c4, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)  # (P, 4)
 
         log_t_un = log_t_un + jnp.sum(alog, axis=1, keepdims=True)
@@ -265,6 +269,7 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
         # gamma4[p, j] = sum_ch g4[p, ch] * c4[ch, j]
         gamma4 = jax.lax.dot_general(
             g4, c4, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)  # (P, K)
 
         u = gamma4 * w
@@ -281,6 +286,7 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
         # d color: dL/dc[j,ch] = sum_p g_ch[p] * w[p,j]
         d_col = jax.lax.dot_general(
             gpix_ref[0, :, 0:3], w, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)  # (3, K)
 
         ca = scr[slot, ROW_CA:ROW_CA + 1, :]
