@@ -66,6 +66,12 @@ def rasterize_dense(attrs16, tile_offsets_np, ntx, nty,
                     settings: RenderSettings):
     """Differentiable full-frame compositor.  tile_offsets must be concrete
     (numpy) so per-tile slices are static."""
+    with jax.default_matmul_precision("highest"):
+        return _rasterize_dense(attrs16, tile_offsets_np, ntx, nty, settings)
+
+
+def _rasterize_dense(attrs16, tile_offsets_np, ntx, nty,
+                     settings: RenderSettings):
     outs = []
     offs = np.asarray(tile_offsets_np)
     for t in range(ntx * nty):

@@ -101,6 +101,15 @@ def project_gaussians(
     The reference's backward has no color->geometry path and its SH DC
     gradient is routed separately (tiled-backward.wgsl; SURVEY.md Q2), so
     parity training sets this and skips the whole SH backward."""
+    # geometry must be f32-exact: the MXU's default single-pass bf16
+    # matmuls would round splat centers by ~0.4% (pixels of error)
+    with jax.default_matmul_precision("highest"):
+        return _project_gaussians_impl(params, alive, camera, img_w, img_h,
+                                       sh_deg, settings, detach_color)
+
+
+def _project_gaussians_impl(params, alive, camera, img_w, img_h, sh_deg,
+                            settings, detach_color):
     means = params["means"]
     quats = params["quats"]
     log_scales = params["log_scales"]
