@@ -101,23 +101,18 @@ def _chunk_alpha(scr, pxf, pyf, settings: RenderSettings):
     return alpha, g, dx, dy
 
 
-def _tri_masks(k: int):
-    """Strict / inclusive upper-triangular (K,K) 0/1 matrices for prefix
-    sums along the splat axis: (P,K) @ (K,K) on the MXU."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    strict = (row < col).astype(jnp.float32)
-    incl = (row <= col).astype(jnp.float32)
-    return strict, incl
-
-
-def _prefix_mm(x, tri):
-    # HIGHEST: the MXU's default single-pass bf16 (0.4% rel) is too coarse
-    # for log-transmittance prefixes feeding the saturation threshold
-    return jax.lax.dot_general(
-        x, tri, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+def _lane_cumsum(x, k: int):
+    """Inclusive prefix sum along the lane (splat) axis of a (P, K) block:
+    a Hillis-Steele scan of log2(K) masked-roll rounds on the VPU.  Exact
+    f32 — unlike a triangular MXU matmul, whose single-pass bf16 default
+    rounds log-transmittance by 0.4% and whose f32 mode costs 6 passes."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    y = x
+    shift = 1
+    while shift < k:
+        y = y + jnp.where(lane >= shift, pltpu.roll(y, shift, axis=1), 0.0)
+        shift *= 2
+    return y
 
 
 def _pixel_coords(t, ntx, settings: RenderSettings):
@@ -142,7 +137,6 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
 
     pxf, pyf = _pixel_coords(t, ntx, settings)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-    tri_strict, _ = _tri_masks(k)
 
     def chunk_dma(c, slot):
         base = pl.multiple_of(start + c * k, k)
@@ -166,7 +160,8 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
 
         alpha, _, _, _ = _chunk_alpha(scr[slot], pxf, pyf, settings)
         alog = jnp.log1p(-alpha)
-        t_excl = jnp.exp(_prefix_mm(alog, tri_strict) + log_t_un)
+        alog_incl = _lane_cumsum(alog, k)
+        t_excl = jnp.exp(alog_incl - alog + log_t_un)
         incl = (t_excl >= settings.t_threshold).astype(jnp.float32)
         w = alpha * t_excl * incl  # (P, K)
 
@@ -178,7 +173,7 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)  # (P, 4)
 
-        log_t_un = log_t_un + jnp.sum(alog, axis=1, keepdims=True)
+        log_t_un = log_t_un + alog_incl[:, k - 1:k]
         log_t_gated = log_t_gated + jnp.sum(alog * incl, axis=1, keepdims=True)
 
         pos = (c * k + lane + 1).astype(jnp.float32)
@@ -217,7 +212,6 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
     log_t_min = math.log(settings.t_threshold)
 
     pxf, pyf = _pixel_coords(t, ntx, settings)
-    tri_strict, tri_incl = _tri_masks(k)
 
     g4 = gpix_ref[0, :, 0:4]  # cotangents for (r, g, b, acc_alpha), (P, 4)
     g_t = gpix_ref[0, :, OUT_T:OUT_T + 1]  # (P, 1)
@@ -258,7 +252,8 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
 
         alpha, g, dx, dy = _chunk_alpha(scr[slot], pxf, pyf, settings)
         alog = jnp.log1p(-alpha)
-        t_excl = jnp.exp(_prefix_mm(alog, tri_strict) + log_t_un)
+        alog_incl = _lane_cumsum(alog, k)
+        t_excl = jnp.exp(alog_incl - alog + log_t_un)
         incl = (t_excl >= settings.t_threshold).astype(jnp.float32)
         live = (alpha > 0.0).astype(jnp.float32) * incl
         w = alpha * t_excl * incl
@@ -273,7 +268,8 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
             preferred_element_type=jnp.float32)  # (P, K)
 
         u = gamma4 * w
-        u_prefix = cum_u + _prefix_mm(u, tri_incl)  # inclusive, (P, K)
+        u_incl = _lane_cumsum(u, k)
+        u_prefix = cum_u + u_incl  # inclusive, (P, K)
         one_m_a = 1.0 - alpha
         dl_da = (gamma4 * t_excl
                  - (suffix_extra - u_prefix) / one_m_a) * live
@@ -314,8 +310,8 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
 
         out_dma(c, slot).start()
 
-        log_t_un = log_t_un + jnp.sum(alog, axis=1, keepdims=True)
-        cum_u = cum_u + jnp.sum(u, axis=1, keepdims=True)
+        log_t_un = log_t_un + alog_incl[:, k - 1:k]
+        cum_u = cum_u + u_incl[:, k - 1:k]
         return c + 1, log_t_un, cum_u
 
     def cond(carry):
