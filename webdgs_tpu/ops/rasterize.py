@@ -102,17 +102,19 @@ def _chunk_alpha(scr, pxf, pyf, settings: RenderSettings):
 
 
 def _lane_cumsum(x, k: int):
-    """Inclusive prefix sum along the lane (splat) axis of a (P, K) block:
-    a Hillis-Steele scan of log2(K) masked-roll rounds on the VPU.  Exact
-    f32 — unlike a triangular MXU matmul, whose single-pass bf16 default
-    rounds log-transmittance by 0.4% and whose f32 mode costs 6 passes."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    y = x
-    shift = 1
-    while shift < k:
-        y = y + jnp.where(lane >= shift, pltpu.roll(y, shift, axis=1), 0.0)
-        shift *= 2
-    return y
+    """Inclusive prefix sum along the lane (splat) axis of a (P, K) block,
+    as an inclusive-triangular matmul on the MXU at HIGHEST (f32-exact)
+    precision — the default single-pass bf16 rounds log-transmittance by
+    0.4% (visibly wrong), Mosaic has no 3-pass HIGH mode, and a
+    Hillis-Steele roll scan measured slower than the MXU passes.  The (K,K)
+    triangle is constant-folded."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    tri_incl = (row <= col).astype(jnp.float32)
+    return jax.lax.dot_general(
+        x, tri_incl, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
 
 
 def _pixel_coords(t, ntx, settings: RenderSettings):
