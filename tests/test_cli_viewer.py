@@ -194,3 +194,25 @@ def test_viewer_server_endpoints(tmp_path):
         assert not np.allclose(viewer.control.position, pos0)
     finally:
         server.shutdown()
+
+
+def test_viewer_server_stats(tmp_path):
+    import threading
+    import urllib.request
+    import json as _json
+
+    from webdgs_tpu.render.server import ViewerServer, make_http_server
+
+    viewer = Viewer(random_scene(5, seed=71), 32, 32)
+    vs = ViewerServer(viewer)
+    server = make_http_server(vs, "127.0.0.1", 0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/frame.jpg").read()
+        stats = _json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats").read())
+        assert stats["points"] == 5 and stats["fps"] > 0
+        assert stats["render_mode"] == "gaussian"
+    finally:
+        server.shutdown()

@@ -14,6 +14,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -25,7 +26,8 @@ body { margin:0; background:#111; color:#ccc; font-family:monospace; }
 canvas { display:block; margin:0 auto; }
 </style></head><body>
 <div id="hud">webdgs_tpu &mdash; WASD/Space/Ctrl move &middot; drag look
-&middot; Q/E roll &middot; wheel dolly &middot; P point mode</div>
+&middot; Q/E roll &middot; wheel dolly &middot; P point mode
+<span id="stats"></span></div>
 <canvas id="c"></canvas>
 <script>
 const c = document.getElementById('c'), ctx = c.getContext('2d');
@@ -55,6 +57,11 @@ async function loop() {
   }
 }
 loop();
+setInterval(async () => {
+  const s = await (await fetch('/stats')).json();
+  document.getElementById('stats').textContent =
+    ` | ${s.points} pts | ${s.fps.toFixed(1)} fps | ${s.render_mode}`;
+}, 1000);
 </script></body></html>
 """
 
@@ -64,6 +71,7 @@ class ViewerServer:
         self.viewer = viewer
         self.quality = quality
         self.lock = threading.Lock()
+        self.fps = 0.0  # EMA like the reference HUD (main.ts:550-561)
 
     def handle_control(self, msg: dict) -> None:
         ctl = self.viewer.control
@@ -85,10 +93,25 @@ class ViewerServer:
                     "pointcloud" if self.viewer.render_mode == "gaussian"
                     else "gaussian")
 
+    def stats(self) -> dict:
+        """HUD stats, the analogue of the reference's live widget
+        (main.ts:130-167): fps, point count, render mode."""
+        return {
+            "fps": self.fps,
+            "points": int(self.viewer.scene.num_alive()),
+            "render_mode": self.viewer.render_mode,
+            "width": self.viewer.width,
+            "height": self.viewer.height,
+        }
+
     def frame_jpeg(self) -> bytes:
         from PIL import Image
+        t0 = time.perf_counter()
         with self.lock:
             img = self.viewer.render()
+        dt = time.perf_counter() - t0
+        inst = 1.0 / dt if dt > 0 else 0.0
+        self.fps = inst if self.fps == 0 else 0.9 * self.fps + 0.1 * inst
         arr = (np.clip(img, 0, 1) * 255.0 + 0.5).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(arr).save(buf, format="JPEG", quality=self.quality)
@@ -115,6 +138,9 @@ def make_http_server(vs: ViewerServer, host: str, port: int):
         def do_GET(self):
             if self.path.startswith("/frame.jpg"):
                 self._send(200, vs.frame_jpeg(), "image/jpeg")
+            elif self.path.startswith("/stats"):
+                self._send(200, json.dumps(vs.stats()).encode(),
+                           "application/json")
             elif self.path == "/" or self.path.startswith("/index"):
                 self._send(200, PAGE.encode(), "text/html")
             else:
