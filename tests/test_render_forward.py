@@ -131,3 +131,51 @@ def test_entry_budget_overflow_drops_whole_gaussians():
                                        nty, settings)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_k),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sh_eval_matches_reference_formula():
+    """eval_sh_color vs an independent transcription of the reference's
+    nested-degree evaluation (tiled-forward.wgsl:89-119)."""
+    from webdgs_tpu.ops.sh import eval_sh_color
+
+    C0 = 0.28209479177387814
+    C1 = 0.4886025119029199
+    C2 = [1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+          -1.0925484305920792, 0.5462742152960396]
+    C3 = [-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+          0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+          -0.5900435899266435]
+
+    rng = np.random.default_rng(77)
+    n = 32
+    sh = rng.normal(0, 0.5, (n, 16, 3)).astype(np.float32)
+    dirs = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    for deg in range(4):
+        got = np.asarray(eval_sh_color(jnp.asarray(sh), jnp.asarray(dirs),
+                                       deg))
+        expect = np.zeros((n, 3))
+        for i in range(n):
+            x, y, z = dirs[i]
+            c = C0 * sh[i, 0]
+            if deg > 0:
+                c = c - C1 * y * sh[i, 1] + C1 * z * sh[i, 2] \
+                    - C1 * x * sh[i, 3]
+            if deg > 1:
+                xx, yy, zz = x * x, y * y, z * z
+                xy, yz, xz = x * y, y * z, x * z
+                c = (c + C2[0] * xy * sh[i, 4] + C2[1] * yz * sh[i, 5]
+                     + C2[2] * (2 * zz - xx - yy) * sh[i, 6]
+                     + C2[3] * xz * sh[i, 7] + C2[4] * (xx - yy) * sh[i, 8])
+            if deg > 2:
+                c = (c + C3[0] * y * (3 * xx - yy) * sh[i, 9]
+                     + C3[1] * xy * z * sh[i, 10]
+                     + C3[2] * y * (4 * zz - xx - yy) * sh[i, 11]
+                     + C3[3] * z * (2 * zz - 3 * xx - 3 * yy) * sh[i, 12]
+                     + C3[4] * x * (4 * zz - xx - yy) * sh[i, 13]
+                     + C3[5] * z * (xx - yy) * sh[i, 14]
+                     + C3[6] * x * (xx - 3 * yy) * sh[i, 15])
+            expect[i] = np.maximum(c + 0.5, 0.0)
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"deg {deg}")
