@@ -66,7 +66,7 @@ ROW_CA, ROW_CB, ROW_CC = 2, 3, 4
 ROW_R, ROW_G, ROW_B = 5, 6, 7
 ROW_OP = 8
 ROW_EX, ROW_EY = 9, 10
-NUM_ROWS = 12
+NUM_ROWS = 16  # sublane-aligned; 12 rows crashes the Mosaic compile helper
 
 # output-channel layout of the per-tile pixel buffer (T, P, 8)
 OUT_R, OUT_G, OUT_B = 0, 1, 2
