@@ -103,18 +103,25 @@ def _chunk_alpha(scr, pxf, pyf, settings: RenderSettings):
 
 def _lane_cumsum(x, k: int):
     """Inclusive prefix sum along the lane (splat) axis of a (P, K) block,
-    as an inclusive-triangular matmul on the MXU at HIGHEST (f32-exact)
-    precision — the default single-pass bf16 rounds log-transmittance by
-    0.4% (visibly wrong), Mosaic has no 3-pass HIGH mode, and a
-    Hillis-Steele roll scan measured slower than the MXU passes.  The (K,K)
-    triangle is constant-folded."""
+    as an inclusive-triangular matmul on the MXU.
+
+    Precision: the MXU's single-pass bf16 rounds log-transmittance by 0.4%
+    (visibly wrong) and Mosaic's only alternative, HIGHEST, costs 6 passes.
+    The 0/1 triangle is EXACT in bf16, so only x needs widening: a manual
+    hi+lo bf16 split gives ~16-bit mantissa (the reference's own f16
+    precision class, error ~1.5e-5) at 2 single-pass matmuls.  A
+    Hillis-Steele roll scan measured slower than the MXU passes."""
     row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    tri_incl = (row <= col).astype(jnp.float32)
-    return jax.lax.dot_general(
-        x, tri_incl, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+    tri = (row <= col).astype(jnp.bfloat16)
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    s_hi = jax.lax.dot_general(x_hi, tri, dims,
+                               preferred_element_type=jnp.float32)
+    s_lo = jax.lax.dot_general(x_lo, tri, dims,
+                               preferred_element_type=jnp.float32)
+    return s_hi + s_lo
 
 
 def _pixel_coords(t, ntx, settings: RenderSettings):
