@@ -59,9 +59,14 @@ def test_dp_train_step_matches_single(mesh):
     cfg = LossConfig()
     opt = init_adam_state(scene.params())
 
-    new_scene, new_opt, loss = dp_train_step(
+    new_scene, new_opt, metrics = dp_train_step(
         scene, opt, cam_batch, target_batch, mesh, img_w=w, img_h=h,
         loss_cfg=cfg, hp=hp, settings=SETTINGS)
+    # DP returns the same metrics surface as the single-device step
+    for key in ("loss", "l1", "l2", "dssim", "psnr", "visible",
+                "tile_entries"):
+        assert key in metrics, key
+    loss = metrics["loss"]
 
     # single-device equivalent: accumulate grads over the same batch
     params = scene.params()
@@ -113,6 +118,48 @@ def test_trainer_with_mesh(mesh):
                       initial_capacity=16, mesh=mesh)
     losses = [float(trainer.step()["loss"]) for _ in range(3)]
     assert all(np.isfinite(losses))
+    # the DP path feeds the same metrics surface as single-device: psnr for
+    # the log line, tile_entries for the adaptive entry capacity
+    assert np.isfinite(float(trainer.last_metrics["psnr"]))
+    assert trainer._entry_cap_peak > 0  # adapted from DP metrics
+
+
+def test_trainer_with_mesh_densify(mesh):
+    """A densify event must work while training on a mesh: the jitted event
+    runs on replicated state and the swap survives the next DP step."""
+    from webdgs_tpu.core.camera import CameraData, default_camera
+    from webdgs_tpu.render.renderer import render
+    from webdgs_tpu.train.config import (DensifyPruneConfig, DensifySchedule,
+                                         TrainerConfig)
+    from webdgs_tpu.train.trainer import Trainer
+    from tests.test_render_forward import random_scene
+
+    w = h = 32
+    gt = random_scene(12, seed=60)
+    gt = gt.replace(opacity_logits=gt.opacity_logits + 2.0)
+    fy = 0.5 * h / np.tan(np.radians(45.0) / 2)
+    cams, imgs = [], []
+    for i in range(4):
+        pos = (0.2 * i, 0.0, -5.0)
+        cam = default_camera(w, h, position=pos)
+        img = np.asarray(render(gt, cam, w, h, SETTINGS).image)
+        cams.append(CameraData(id=i, position=np.asarray(pos, np.float32),
+                               rotation=np.eye(3, dtype=np.float32),
+                               fx=fy, fy=fy, width=w, height=h,
+                               img_name=f"v{i}.png"))
+        imgs.append({"name": f"v{i}.png", "image": img, "width": w,
+                     "height": h})
+    cfg = TrainerConfig(densify=DensifyPruneConfig(
+        schedule=DensifySchedule(enabled=True, warmup_iterations=2,
+                                 interval=2, stop_iterations=10),
+        metric_views=2, clone_threshold_count=1, prune_opacity=0.005))
+    trainer = Trainer(random_scene(8, seed=61), cams, imgs, cfg, SETTINGS,
+                      initial_capacity=64, mesh=mesh)
+    for _ in range(5):  # crosses the warmup boundary -> >=1 densify event
+        m = trainer.step()
+        assert np.isfinite(float(m["loss"]))
+    assert trainer.last_densify_iteration is not None
+    assert np.isfinite(float(trainer.step()["loss"]))  # post-swap DP step
 
 
 def test_tile_sharded_more_devices_than_rows(mesh):

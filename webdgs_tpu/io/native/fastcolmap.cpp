@@ -36,8 +36,10 @@ int64_t parse_points3d(const uint8_t* data, int64_t size, float* xyz,
         rgb[count * 3 + 2] = p[34] / 255.0f;
         uint64_t track_len;
         std::memcpy(&track_len, p + 43, 8);
+        // bounds-check before advancing: a corrupt huge track_len would
+        // overflow the pointer arithmetic and bypass the p > end check
+        if (track_len > static_cast<uint64_t>(end - p - 51) / 8) return -1;
         p += 51 + track_len * 8;
-        if (p > end) return -1;
         ++count;
     }
     return count;
@@ -80,8 +82,8 @@ int64_t parse_images_bin(const uint8_t* data, int64_t size, int32_t* ids,
         if (p + 8 > end) return -1;
         uint64_t npts;
         std::memcpy(&npts, p, 8);
+        if (npts > static_cast<uint64_t>(end - p - 8) / 24) return -1;
         p += 8 + npts * 24;
-        if (p > end) return -1;
         ids[count] = static_cast<int32_t>(image_id);
         camera_ids[count] = static_cast<int32_t>(camera_id);
         ++count;

@@ -108,6 +108,13 @@ def densify_prune(scene: GaussianScene, opt_state: AdamState,
     offsets = jnp.cumsum(counts) - counts
     counts = jnp.clip(max_out - offsets, 0, counts)
     total = jnp.minimum(jnp.sum(counts), max_out)
+    # a clone/split clipped from 2 to 1 at the boundary degrades to keep so
+    # the surviving slot is an untransformed copy (densify-prune-cap.wgsl:
+    # 45-48); without this a boundary split would emit one jittered,
+    # scale-shrunk child instead of keeping the original
+    degraded = (counts == 1) & ((actions == ACTION_CLONE)
+                                | (actions == ACTION_SPLIT))
+    actions = jnp.where(degraded, ACTION_KEEP, actions)
 
     # out slot -> (source gaussian, variant)
     src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), counts,

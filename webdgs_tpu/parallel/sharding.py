@@ -54,11 +54,17 @@ def dp_train_step(scene: GaussianScene, opt_state: AdamState,
                   img_w: int, img_h: int,
                   loss_cfg: LossConfig = LossConfig(),
                   hp: AdamHyperparameters = AdamHyperparameters(),
-                  settings: RenderSettings = DEFAULT_SETTINGS):
+                  settings: RenderSettings = DEFAULT_SETTINGS,
+                  entry_capacity: int | None = None):
     """One training step over a batch of views sharded across the mesh.
 
     cameras: stacked Camera pytree with leading view axis (size divisible by
     the mesh); targets: (V, H, W, 3).
+
+    Returns (scene, opt_state, metrics) where metrics carries the same keys
+    as the single-device ``train_step`` — scalar losses averaged over the
+    view batch, ``visible``/``tile_entries`` as the per-view MAX (the
+    quantity that sizes the adaptive entry capacity).
     """
     n_views = targets.shape[0]
     axis = mesh.axis_names[0]
@@ -73,27 +79,39 @@ def dp_train_step(scene: GaussianScene, opt_state: AdamState,
         n = scene_r.capacity
 
         def body(carry, inputs):
-            grads_acc, counts_acc, loss_acc = carry
+            grads_acc, counts_acc, sums, maxes = carry
             cam, target = inputs
             image, d_params, aux = compute_param_grads(
                 scene_r, cam, target, img_w, img_h, loss_cfg, settings,
-                parity_sh=not hp.full_sh)
+                parity_sh=not hp.full_sh, entry_capacity=entry_capacity)
             grads_acc = jax.tree.map(jnp.add, grads_acc, d_params)
             counts_acc = counts_acc + aux.num_tiles
-            metrics = loss_metrics(image, target, loss_cfg)
-            return (grads_acc, counts_acc, loss_acc + metrics["loss"]), None
+            m = loss_metrics(image, target, loss_cfg)
+            sums = {k: sums[k] + m[k] for k in sums}
+            maxes = {
+                "visible": jnp.maximum(
+                    maxes["visible"], jnp.sum(aux.visible.astype(jnp.int32))),
+                "tile_entries": jnp.maximum(
+                    maxes["tile_entries"], jnp.sum(aux.num_tiles)),
+            }
+            return (grads_acc, counts_acc, sums, maxes), None
 
-        (grads, counts, loss_sum), _ = jax.lax.scan(
-            body, (zeros, jnp.zeros((n,), jnp.int32), jnp.float32(0.0)),
+        sums0 = {k: jnp.float32(0.0)
+                 for k in ("loss", "l1", "l2", "dssim", "psnr")}
+        maxes0 = {"visible": jnp.int32(0), "tile_entries": jnp.int32(0)}
+        (grads, counts, sums, maxes), _ = jax.lax.scan(
+            body, (zeros, jnp.zeros((n,), jnp.int32), sums0, maxes0),
             (cams_l, targets_l))
 
         grads = jax.lax.psum(grads, axis)
         counts = jax.lax.psum(counts, axis)
-        loss = jax.lax.psum(loss_sum, axis) / n_views
+        metrics = {k: jax.lax.psum(v, axis) / n_views
+                   for k, v in sums.items()}
+        metrics.update({k: jax.lax.pmax(v, axis) for k, v in maxes.items()})
         grads = jax.tree.map(lambda gr: gr / n_views, grads)
 
         new_params, new_opt = adam_step(params, grads, opt_r, hp, counts)
-        return scene_r.with_params(new_params), new_opt, loss
+        return scene_r.with_params(new_params), new_opt, metrics
 
     return step(scene, opt_state, cameras, targets)
 

@@ -124,15 +124,22 @@ class Trainer:
     # room (one readback + possible recompile every `interval` steps).
     ENTRY_CAP_INTERVAL = 50
     ENTRY_CAP_HEADROOM = 1.5
+    # the peak decays between observations so a transient early spike (e.g.
+    # initial densification) does not permanently oversize every O(entries)
+    # op — without it the shrink branch below could never fire
+    ENTRY_CAP_DECAY = 0.9
 
     def _entry_cap(self) -> int | None:
         return self._entry_cap_value
 
     def _maybe_adapt_entry_cap(self, metrics) -> None:
-        if self.iteration % self.ENTRY_CAP_INTERVAL:
+        # adapt right after the first step (the heuristic capacity is often
+        # several x the real need) and then every interval
+        if self.iteration != 1 and self.iteration % self.ENTRY_CAP_INTERVAL:
             return
         observed = float(metrics["tile_entries"])
-        self._entry_cap_peak = max(self._entry_cap_peak, observed)
+        self._entry_cap_peak = max(observed,
+                                   self.ENTRY_CAP_DECAY * self._entry_cap_peak)
         chunk = self.settings.chunk
         want = int(self._entry_cap_peak * self.ENTRY_CAP_HEADROOM)
         want = max(-(-want // chunk) * chunk, chunk * 8)
@@ -145,13 +152,15 @@ class Trainer:
     def _indexed_dp_step(self):
         from webdgs_tpu.parallel.sharding import dp_train_step
 
-        @functools.partial(jax.jit, static_argnames=("img_w", "img_h"))
-        def run(scene, opt_state, cams, imgs, idxs, img_w, img_h):
+        @functools.partial(jax.jit,
+                           static_argnames=("img_w", "img_h", "entry_cap"))
+        def run(scene, opt_state, cams, imgs, idxs, img_w, img_h, entry_cap):
             cam_batch = jax.tree.map(lambda x: x[idxs], cams)
             return dp_train_step(
                 scene, opt_state, cam_batch, imgs[idxs], self.mesh,
                 img_w=img_w, img_h=img_h, loss_cfg=self.config.loss,
-                hp=self.config.adam, settings=self.settings)
+                hp=self.config.adam, settings=self.settings,
+                entry_capacity=entry_cap)
         return run
 
     def step(self) -> dict:
@@ -164,11 +173,11 @@ class Trainer:
             idxs = jnp.asarray(
                 [self.rng.randrange(g["count"]) for _ in range(d)],
                 dtype=jnp.int32)
-            self.scene, self.opt_state, loss = self._indexed_dp_step(
+            self.scene, self.opt_state, metrics = self._indexed_dp_step(
                 self.scene, self.opt_state, g["cams"], g["imgs"], idxs,
-                w, h)
-            metrics = {"loss": loss}
+                w, h, self._entry_cap())
             self.iteration += 1
+            self._maybe_adapt_entry_cap(metrics)
         else:
             idx = self.rng.randrange(g["count"])
             self.scene, self.opt_state, metrics = self._indexed_step(
