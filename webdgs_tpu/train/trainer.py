@@ -215,15 +215,27 @@ class Trainer:
         return run
 
     def _metric_camera(self, cams: Camera, mw: int, mh: int) -> Camera:
-        """Rescale a stacked camera batch to the metrics viewport, like the
-        reference re-derives focal from fovY at the smaller canvas
-        (trainer.ts:398-401, camera.ts:138-146)."""
-        scale_y = mh / float(cams.viewport[0, 1])
+        """Re-derive a stacked camera batch at the metrics viewport, exactly
+        as the reference rebuilds the camera at the smaller canvas
+        (trainer.ts:398-401, camera.ts:138-146): fovY is preserved, focal
+        comes from fovY and the metric height, and fovX is re-derived from
+        that focal at the metric width.
+
+        The projection entries that depend on the viewport are
+        p00 = 2*focal/width and p11 = -2*focal/height (camera.ts:29-56);
+        everything else (z rows) is viewport-independent, so this matches
+        ``make_camera(data, mw, mh)`` exactly even when the aspect ratio
+        changes (e.g. odd dimensions under integer downscale)."""
+        h = cams.viewport[:, 1]
+        f_m = cams.focal[:, 1] * (mh / h)  # = 0.5*mh/tan(fovY/2)
+        proj = cams.proj
+        proj = proj.at[:, 0, 0].set(2.0 * f_m / mw)
+        proj = proj.at[:, 1, 1].set(-2.0 * f_m / mh)
         return Camera(
             view=cams.view,
-            proj=cams.proj,
+            proj=proj,
             cam_pos=cams.cam_pos,
-            focal=cams.focal * scale_y,
+            focal=jnp.stack([f_m, f_m], axis=-1),
             viewport=jnp.broadcast_to(
                 jnp.array([mw, mh], jnp.float32), cams.viewport.shape),
         )
