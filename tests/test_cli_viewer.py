@@ -5,6 +5,7 @@ import os
 import struct
 
 import numpy as np
+import pytest
 
 from webdgs_tpu.cli import main as cli_main
 from webdgs_tpu.io.ply import save_ply
@@ -74,6 +75,7 @@ def test_cli_view_render_export(tmp_path, capsys):
     assert os.path.exists(tmp_path / "out.ply")
 
 
+@pytest.mark.slow
 def test_cli_train_smoke(tmp_path):
     from webdgs_tpu.config import RenderSettings
     from webdgs_tpu.core.camera import default_camera

@@ -1,6 +1,7 @@
 """Densify/prune decide + scatter semantics, importance counts, and the
 trainer loop with densification (miniature of BASELINE config 4)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -146,6 +147,7 @@ def test_importance_counts_match_bruteforce():
     np.testing.assert_allclose(np.asarray(counts), expect, atol=0.5)
 
 
+@pytest.mark.slow
 def test_trainer_with_densify_runs():
     w, h = 32, 32
     gt = random_scene(15, seed=9)
@@ -184,6 +186,7 @@ def test_trainer_with_densify_runs():
     assert int(trainer.scene.num_alive()) == trainer.num_points
 
 
+@pytest.mark.slow
 def test_trainer_evaluate():
     w, h = 32, 32
     gt = random_scene(12, seed=40)

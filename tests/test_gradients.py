@@ -43,6 +43,7 @@ def _setup(n=80, w=48, h=32, seed=3, opacity_boost=0.0):
     return scene, cam, attrs16, bins, ntx, nty
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("opacity_boost", [0.0, 5.0])
 def test_backward_kernel_matches_dense_autodiff(opacity_boost):
     # opacity_boost=5 drives alphas into the 0.99 clamp and the pixels into
@@ -76,6 +77,7 @@ def test_backward_kernel_matches_dense_autodiff(opacity_boost):
     np.testing.assert_allclose(dk / scale, dd / scale, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_end_to_end_finite_differences():
     n, w, h = 40, 32, 32
     scene = random_scene(n, seed=11, sh_deg=2)
@@ -129,6 +131,7 @@ def test_end_to_end_finite_differences():
     assert rels.max() < 0.5, f"gross mismatch: {worst}"
 
 
+@pytest.mark.slow
 def test_prefix_gradient_reduction_matches_scatter():
     """The large-scale prefix-sum segment reduction must agree with the
     default scatter-add transpose."""

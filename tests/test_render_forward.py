@@ -30,7 +30,7 @@ def random_scene(n, seed=0, spread=1.0, sh_deg=0):
 
 @pytest.mark.parametrize("n,size,sh_deg", [
     (60, (64, 48), 0),
-    (200, (80, 64), 3),
+    pytest.param(200, (80, 64), 3, marks=pytest.mark.slow),
 ])
 def test_forward_matches_reference(n, size, sh_deg):
     w, h = size

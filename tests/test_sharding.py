@@ -29,6 +29,7 @@ def mesh():
     return make_mesh()
 
 
+@pytest.mark.slow
 def test_tile_sharded_render_matches_single(mesh):
     w, h = 64, 64
     scene = random_scene(80, seed=21)
@@ -39,6 +40,7 @@ def test_tile_sharded_render_matches_single(mesh):
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_train_step_matches_single(mesh):
     w, h = 32, 32
     d = len(mesh.devices.reshape(-1))
@@ -88,6 +90,7 @@ def test_dp_train_step_matches_single(mesh):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_trainer_with_mesh(mesh):
     import numpy as np
     from webdgs_tpu.core.camera import CameraData, default_camera
@@ -124,6 +127,7 @@ def test_trainer_with_mesh(mesh):
     assert trainer._entry_cap_peak > 0  # adapted from DP metrics
 
 
+@pytest.mark.slow
 def test_trainer_with_mesh_densify(mesh):
     """A densify event must work while training on a mesh: the jitted event
     runs on replicated state and the swap survives the next DP step."""
@@ -162,6 +166,7 @@ def test_trainer_with_mesh_densify(mesh):
     assert np.isfinite(float(trainer.step()["loss"]))  # post-swap DP step
 
 
+@pytest.mark.slow
 def test_tile_sharded_more_devices_than_rows(mesh):
     # H=32 -> 2 tile rows, 8 devices: most bands are empty padding
     w, h = 48, 32
