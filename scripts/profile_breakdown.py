@@ -1,0 +1,149 @@
+"""The definitive per-stage breakdown of the train step at bench scale."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from scripts.prof_util import measure
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from webdgs_tpu.config import RenderSettings
+    from webdgs_tpu.core.camera import default_camera
+    from webdgs_tpu.ops import binning as B
+    from webdgs_tpu.ops import rasterize as RZ
+    from webdgs_tpu.ops.adam import (AdamHyperparameters, adam_step,
+                                     init_adam_state)
+    from webdgs_tpu.ops.loss import LossConfig, pixel_loss_gradient
+    from webdgs_tpu.ops.projection import project_gaussians
+    from webdgs_tpu.train.step import train_step
+    from webdgs_tpu.core.scene import scene_from_arrays
+
+    n = 100_000
+    w, h = 800, 600
+    rng = np.random.default_rng(0)
+    quats = rng.normal(0, 1, (n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    scene = scene_from_arrays(
+        rng.normal(0, 1.5, (n, 3)).astype(np.float32), quats=quats,
+        log_scales=rng.uniform(-4.5, -2.5, (n, 3)).astype(np.float32),
+        opacity_logits=rng.uniform(-1, 3, (n,)).astype(np.float32),
+        colors=rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    cam = default_camera(w, h, position=(0.0, 0.0, -8.0))
+    s = RenderSettings(chunk=128)
+    cap = 786432
+    ntx, nty = B.tile_grid(w, h, s)
+    cfg = LossConfig()
+    hp = AdamHyperparameters()
+    target = jnp.zeros((h, w, 3), jnp.float32)
+    params = scene.params()
+    opt0 = init_adam_state(params)
+
+    # precomputed stage inputs
+    attrs, aux = jax.jit(lambda p: project_gaussians(
+        p, scene.alive, cam, w, h, 0, s, detach_color=True))(params)
+    bins = jax.jit(lambda a: B.bin_splats(a, w, h, s, capacity=cap))(aux)
+    a16 = jax.jit(lambda at, b: RZ.pack_entry_attrs(
+        at, b.entry_gauss, b.entry_valid, s))(attrs, bins)
+    fwd_out = jax.jit(lambda a, b: RZ.rasterize_tiles(
+        a, b.tile_offsets, ntx, nty, s))(a16, bins)
+    gpix = fwd_out * 1e-3
+
+    rows = []
+
+    def rec(name, stage, args, r=16):
+        ms = measure(stage, args, r=r)
+        rows.append((name, ms))
+        print(f"{name:22s} {ms:7.2f} ms", flush=True)
+
+
+    rec("projection fwd", lambda p: project_gaussians(
+        p, scene.alive, cam, w, h, 0, s, detach_color=True), (params,))
+
+    def proj_vjp(p, d):
+        _, vjp = jax.vjp(lambda q: project_gaussians(
+            q, scene.alive, cam, w, h, 0, s, detach_color=True)[0], p)
+        return vjp(d)
+
+    d_attrs_pg = jax.tree.map(lambda x: x * 1e-3, attrs)
+    rec("projection fwd+vjp", proj_vjp, (params, d_attrs_pg))
+
+    rec("bin full", lambda a: B.bin_splats(a, w, h, s, capacity=cap), (aux,))
+
+    # bin internals
+    def bin_repeat(a):
+        counts = jnp.where(jnp.cumsum(a.num_tiles) <= cap, a.num_tiles, 0)
+        return B._repeat_ids(counts, cap)
+
+    rec("bin/repeat", bin_repeat, (aux,))
+
+    def bin_fields(a):
+        counts = jnp.where(jnp.cumsum(a.num_tiles) <= cap, a.num_tiles, 0)
+        g = B._repeat_ids(counts, cap)
+        offsets = jnp.cumsum(counts) - counts
+        fields = jnp.stack([
+            offsets, a.tile_min[:, 0], a.tile_min[:, 1], a.tile_dims[:, 0],
+            B._ordered_depth16(a.depth).astype(jnp.int32)], axis=1)
+        return fields[g]
+
+    rec("bin/repeat+gather", bin_fields, (aux,))
+
+    rec("bin/hist", lambda a: B._tile_histogram(
+        a, jnp.cumsum(a.num_tiles) <= cap, ntx, nty), (aux,))
+
+    def sort2(k, g):
+        return jax.lax.sort((k, g), num_keys=1)
+
+    keys0 = jnp.concatenate([
+        jax.random.randint(jax.random.PRNGKey(0), (cap,), 0,
+                           1 << 30).astype(jnp.uint32),
+        jnp.full((ntx * nty * s.chunk,), 0xFFFFFFFF, jnp.uint32)])
+    gauss0 = jnp.zeros_like(keys0).astype(jnp.int32)
+    rec("bin/sort(k,g) 1.03M", sort2, (keys0, gauss0))
+
+    rec("pack gather", lambda at, b: RZ.pack_entry_attrs(
+        at, b.entry_gauss, b.entry_valid, s), (attrs, bins))
+
+    rec("raster fwd kernel", lambda a, b: RZ.rasterize_tiles(
+        a, b.tile_offsets, ntx, nty, s), (a16, bins))
+
+    rec("raster bwd kernel", lambda a, b, f, gp: RZ._backward_impl(
+        a, b.tile_offsets, f, gp, ntx, nty, s), (a16, bins, fwd_out, gpix))
+
+    def scatter_rows(dattr, b):
+        rows_ = jnp.where(b.entry_valid[:, None], dattr.T, 0.0)
+        return jnp.zeros((n, 16), jnp.float32).at[b.entry_gauss].add(rows_)
+
+    rec("grad scatter-add", scatter_rows, (a16, bins))
+
+    img0 = jnp.ones((h, w, 3), jnp.float32)
+    rec("loss grad", lambda i: pixel_loss_gradient(i, target, cfg), (img0,))
+    rec("img->tiles", lambda i: RZ.image_to_tiles(i, ntx, nty, s), (img0,))
+    rec("tiles->img", lambda t: RZ.tiles_to_image(t, ntx, nty, w, h, s),
+        (fwd_out,))
+
+    g_par = jax.tree.map(lambda x: x * 1e-6, params)
+    rec("adam", lambda p, gg, o: adam_step(p, gg, o, hp, aux.num_tiles),
+        (params, g_par, opt0))
+
+    # ---- full step and top-level pieces ----
+    def full(p, o):
+        sc = scene.with_params(p)
+        return train_step(sc, o, cam, target, img_w=w, img_h=h, loss_cfg=cfg,
+                          hp=hp, settings=s, entry_capacity=cap)
+
+    rec("FULL train_step", full, (params, opt0), r=4)
+
+    print("----", flush=True)
+    total = [ms for nm, ms in rows if nm.startswith("FULL")][0]
+    print(f"sum of parts vs FULL: see above; FULL = {total:.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,11 +57,13 @@ class RenderSettings:
     alpha_min: float = 1.0 / 255.0
     # Alpha clamp (tiled-rasterizer.wgsl:233).
     alpha_max: float = 0.99
-    # Above this entry capacity, per-Gaussian gradient accumulation switches
-    # from an XLA scatter-add (fast at small scale, catastrophic at large:
-    # 289 ms for 3.5M rows into 1M) to a prefix-sum segment reduction in
-    # expansion order (see ops/rasterize.pack_entry_attrs).
-    grad_reduce_threshold: int = 1_500_000
+    # Entry capacity above which per-Gaussian gradient accumulation uses the
+    # prefix-sum segment reduction in expansion order instead of an XLA
+    # scatter-add (see ops/rasterize.pack_entry_attrs).  Measured on v5e:
+    # the scatter costs 16.4 ms at 530k entries into 100k Gaussians (XLA
+    # serializes row updates) and 289 ms at 3.5M into 1M; the prefix path
+    # costs 7.2 ms / ~45 ms — so it is the default at every scale (0).
+    grad_reduce_threshold: int = 0
 
     @property
     def tile_px(self) -> int:

@@ -80,6 +80,34 @@ def quat_to_rotmat(q: jax.Array) -> jax.Array:
     ], axis=-2)
 
 
+def _rotmat_rows(q: tuple[jax.Array, ...]):
+    """Rotation matrix entries as nine (N,) rows from unnormalized quat rows
+    (common.wgsl:44-53)."""
+    r, x, y, z = q
+    return (
+        (1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)),
+        (2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)),
+        (2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)),
+    )
+
+
+def _cov3d_rows(q, s2):
+    """Unique entries of Sigma = R diag(s^2) R^T as six (N,) rows
+    (common.wgsl:44-68).
+
+    TPU note: the (N,3,3) tensor formulation pads each minor (3,3) block to
+    an (8,128) tile — ~42x the logical bytes per intermediate.  Row form
+    keeps everything in unpadded (N,) vectors on the VPU."""
+    m = _rotmat_rows(q)
+    s0, s1, s2_ = s2
+
+    def sig(i, j):
+        return (m[i][0] * m[j][0] * s0 + m[i][1] * m[j][1] * s1
+                + m[i][2] * m[j][2] * s2_)
+
+    return sig(0, 0), sig(0, 1), sig(0, 2), sig(1, 1), sig(1, 2), sig(2, 2)
+
+
 def covariance3d(quats: jax.Array, scales: jax.Array) -> jax.Array:
     """Sigma = R diag(s^2) R^T, (N,3,3) (common.wgsl:44-68)."""
     rot = quat_to_rotmat(quats)
@@ -100,12 +128,17 @@ def project_gaussians(
     (both into the coefficients and into positions via the view direction).
     The reference's backward has no color->geometry path and its SH DC
     gradient is routed separately (tiled-backward.wgsl; SURVEY.md Q2), so
-    parity training sets this and skips the whole SH backward."""
-    # geometry must be f32-exact: the MXU's default single-pass bf16
-    # matmuls would round splat centers by ~0.4% (pixels of error)
-    with jax.default_matmul_precision("highest"):
-        return _project_gaussians_impl(params, alive, camera, img_w, img_h,
-                                       sh_deg, settings, detach_color)
+    parity training sets this and skips the whole SH backward.
+
+    TPU design note: all geometry runs in "row form" — every per-Gaussian
+    quantity is an unpadded (N,) vector on the VPU, exactly like the WGSL
+    scalar code but vectorized over N in lanes.  The (N,3,3)/(N,2,3) tensor
+    formulation XLA would otherwise materialize pads each minor block to an
+    (8,128) tile (~42x traffic), and its tiny einsums needed HIGHEST-precision
+    MXU passes for f32-exact centers; row form is exact f32 by construction.
+    """
+    return _project_gaussians_impl(params, alive, camera, img_w, img_h,
+                                   sh_deg, settings, detach_color)
 
 
 def _project_gaussians_impl(params, alive, camera, img_w, img_h, sh_deg,
@@ -120,46 +153,75 @@ def _project_gaussians_impl(params, alive, camera, img_w, img_h, sh_deg,
     viewport = jnp.array([img_w, img_h], dtype=jnp.float32)
     focal_x, focal_y = camera.focal[0], camera.focal[1]
 
+    mT = means.T  # (3, N): one relayout, then free (N,) row views
+    m0, m1, m2 = mT[0], mT[1], mT[2]
+
     # --- view / clip transform (tiled-forward.wgsl:188-201) ---
-    t = means @ view[:3, :3].T + view[:3, 3]  # view-space position
-    clip = t @ proj[:, :3].T + proj[:, 3]  # (N, 4)
-    w = clip[:, 3]
+    def vdot(row, c3):
+        return row[0] * m0 + row[1] * m1 + row[2] * m2 + row[3] * c3
+
+    one = jnp.float32(1.0)
+    t0 = vdot(view[0], one)
+    t1 = vdot(view[1], one)
+    tz = vdot(view[2], one)
+
+    def pdot(row):
+        return row[0] * t0 + row[1] * t1 + row[2] * tz + row[3]
+
+    clip0, clip1, clip2, w = pdot(proj[0]), pdot(proj[1]), pdot(proj[2]), \
+        pdot(proj[3])
     w_ok = w != 0.0
     w_safe = jnp.where(w_ok, w, 1.0)
-    ndc = clip[:, :3] / w_safe[:, None]
+    ndc0 = clip0 / w_safe
+    ndc1 = clip1 / w_safe
+    ndc2 = clip2 / w_safe
 
     in_frustum = (
-        (ndc[:, 0] >= -NDC_CULL) & (ndc[:, 0] <= NDC_CULL)
-        & (ndc[:, 1] >= -NDC_CULL) & (ndc[:, 1] <= NDC_CULL)
-        & (ndc[:, 2] >= 0.0) & (ndc[:, 2] <= 1.0)
+        (ndc0 >= -NDC_CULL) & (ndc0 <= NDC_CULL)
+        & (ndc1 >= -NDC_CULL) & (ndc1 <= NDC_CULL)
+        & (ndc2 >= 0.0) & (ndc2 <= 1.0)
         & w_ok & alive
     )
 
-    # --- 3D covariance (common.wgsl:44-68) ---
-    scales = jnp.exp(log_scales)
-    cov3d = covariance3d(quats, scales)
+    # --- 3D covariance rows (common.wgsl:44-68) ---
+    lsT = log_scales.T
+    s2 = (jnp.exp(2.0 * lsT[0]), jnp.exp(2.0 * lsT[1]),
+          jnp.exp(2.0 * lsT[2]))
+    qT = quats.T
+    c00, c01, c02, c11, c12, c22 = _cov3d_rows(
+        (qT[0], qT[1], qT[2], qT[3]), s2)
 
     # --- EWA 2D covariance (common.wgsl:71-108) ---
-    tz = t[:, 2]
     tz_safe = jnp.where(in_frustum, tz, 1.0)
     lim_x = 1.3 * (viewport[0] * 0.5) / focal_x
     lim_y = 1.3 * (viewport[1] * 0.5) / focal_y
-    tx = jnp.clip(t[:, 0] / tz_safe, -lim_x, lim_x) * tz_safe
-    ty = jnp.clip(t[:, 1] / tz_safe, -lim_y, lim_y) * tz_safe
+    tx = jnp.clip(t0 / tz_safe, -lim_x, lim_x) * tz_safe
+    ty = jnp.clip(t1 / tz_safe, -lim_y, lim_y) * tz_safe
 
     inv_z = 1.0 / tz_safe
-    inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(tz)
-    # J is the 2x3 Jacobian of the perspective projection at the clamped point.
-    jmat = jnp.stack([
-        jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], -1),
-        jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], -1),
-    ], axis=-2)  # (N, 2, 3)
-    amat = jnp.einsum("nij,jk->nik", jmat, view[:3, :3])  # (N, 2, 3)
-    cov2d = jnp.einsum("nij,njk,nlk->nil", amat, cov3d, amat)  # (N, 2, 2)
-    cov_a = cov2d[:, 0, 0] + 0.3
-    cov_b = cov2d[:, 0, 1]
-    cov_c = cov2d[:, 1, 1] + 0.3
+    # J (2x3 Jacobian of the perspective projection at the clamped point)
+    # composed with W = view[:3,:3]: A = J @ W, two (N,) rows per column.
+    j00 = focal_x * inv_z
+    j02 = -focal_x * tx * inv_z * inv_z
+    j11 = focal_y * inv_z
+    j12 = -focal_y * ty * inv_z * inv_z
+    a0 = (j00 * view[0, 0] + j02 * view[2, 0],
+          j00 * view[0, 1] + j02 * view[2, 1],
+          j00 * view[0, 2] + j02 * view[2, 2])
+    a1 = (j11 * view[1, 0] + j12 * view[2, 0],
+          j11 * view[1, 1] + j12 * view[2, 1],
+          j11 * view[1, 2] + j12 * view[2, 2])
+
+    def quad(u, v):
+        """u^T Sigma v for symmetric Sigma rows."""
+        return (c00 * u[0] * v[0] + c11 * u[1] * v[1] + c22 * u[2] * v[2]
+                + c01 * (u[0] * v[1] + u[1] * v[0])
+                + c02 * (u[0] * v[2] + u[2] * v[0])
+                + c12 * (u[1] * v[2] + u[2] * v[1]))
+
+    cov_a = quad(a0, a0) + 0.3
+    cov_b = quad(a0, a1)
+    cov_c = quad(a1, a1) + 0.3
 
     det = cov_a * cov_c - cov_b * cov_b
     det_ok = det > 0.0
@@ -185,30 +247,36 @@ def _project_gaussians_impl(params, alive, camera, img_w, img_h, sh_deg,
     radius_capped = jnp.maximum(x_extent, y_extent) >= cap
     x_extent_cap = jnp.minimum(x_extent, cap)
     y_extent_cap = jnp.minimum(y_extent, cap)
-    extents = jnp.stack([x_extent_cap, y_extent_cap], axis=-1)
 
     # --- pixel center and tile range (tiled-forward.wgsl:236-277) ---
-    center_px = (ndc[:, :2] * jnp.array([0.5, -0.5]) + 0.5) * viewport
+    cx = (ndc0 * 0.5 + 0.5) * viewport[0]
+    cy = (ndc1 * -0.5 + 0.5) * viewport[1]
 
-    ext_sg = jax.lax.stop_gradient(extents)
-    c_sg = jax.lax.stop_gradient(center_px)
-    bbox_min_raw = c_sg - ext_sg - TILE_MARGIN_PX
-    bbox_max_raw = c_sg + ext_sg + TILE_MARGIN_PX
+    ex_sg = jax.lax.stop_gradient(x_extent_cap)
+    ey_sg = jax.lax.stop_gradient(y_extent_cap)
+    cx_sg = jax.lax.stop_gradient(cx)
+    cy_sg = jax.lax.stop_gradient(cy)
+    bminx_raw = cx_sg - ex_sg - TILE_MARGIN_PX
+    bminy_raw = cy_sg - ey_sg - TILE_MARGIN_PX
+    bmaxx_raw = cx_sg + ex_sg + TILE_MARGIN_PX
+    bmaxy_raw = cy_sg + ey_sg + TILE_MARGIN_PX
     on_screen = (
-        (bbox_max_raw[:, 0] >= 0.0) & (bbox_max_raw[:, 1] >= 0.0)
-        & (bbox_min_raw[:, 0] < viewport[0]) & (bbox_min_raw[:, 1] < viewport[1])
+        (bmaxx_raw >= 0.0) & (bmaxy_raw >= 0.0)
+        & (bminx_raw < viewport[0]) & (bminy_raw < viewport[1])
     )
-    bbox_min = jnp.maximum(bbox_min_raw, 0.0)
-    bbox_max = jnp.minimum(bbox_max_raw, viewport - 1.0)
-    bbox_ok = (bbox_max[:, 0] >= bbox_min[:, 0]) & (bbox_max[:, 1] >= bbox_min[:, 1])
+    bminx = jnp.maximum(bminx_raw, 0.0)
+    bminy = jnp.maximum(bminy_raw, 0.0)
+    bmaxx = jnp.minimum(bmaxx_raw, viewport[0] - 1.0)
+    bmaxy = jnp.minimum(bmaxy_raw, viewport[1] - 1.0)
+    bbox_ok = (bmaxx >= bminx) & (bmaxy >= bminy)
 
     num_tiles_x = -(-img_w // settings.tile_w)
     num_tiles_y = -(-img_h // settings.tile_h)
-    tile_min_x = (bbox_min[:, 0].astype(jnp.int32)) // settings.tile_w
-    tile_min_y = (bbox_min[:, 1].astype(jnp.int32)) // settings.tile_h
-    tile_max_x = jnp.minimum(bbox_max[:, 0].astype(jnp.int32) // settings.tile_w,
+    tile_min_x = bminx.astype(jnp.int32) // settings.tile_w
+    tile_min_y = bminy.astype(jnp.int32) // settings.tile_h
+    tile_max_x = jnp.minimum(bmaxx.astype(jnp.int32) // settings.tile_w,
                              num_tiles_x - 1)
-    tile_max_y = jnp.minimum(bbox_max[:, 1].astype(jnp.int32) // settings.tile_h,
+    tile_max_y = jnp.minimum(bmaxy.astype(jnp.int32) // settings.tile_h,
                              num_tiles_y - 1)
     tiles_x = tile_max_x - tile_min_x + 1
     tiles_y = tile_max_y - tile_min_y + 1
@@ -219,20 +287,22 @@ def _project_gaussians_impl(params, alive, camera, img_w, img_h, sh_deg,
     num_tiles = jnp.where(visible, num_tiles, 0)
 
     # --- SH color (tiled-forward.wgsl:258-261, clamp at :284-285) ---
-    rel = means - camera.cam_pos
-    norm = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1, keepdims=True), 1e-24))
-    sh_in, dirs = sh, rel / norm
+    cam_pos = camera.cam_pos
+    r0, r1, r2 = m0 - cam_pos[0], m1 - cam_pos[1], m2 - cam_pos[2]
+    norm = jnp.sqrt(jnp.maximum(r0 * r0 + r1 * r1 + r2 * r2, 1e-24))
+    dirs = jnp.stack([r0 / norm, r1 / norm, r2 / norm], axis=-1)
+    sh_in = sh
     if detach_color:
         sh_in = jax.lax.stop_gradient(sh_in)
         dirs = jax.lax.stop_gradient(dirs)
     color = jnp.clip(eval_sh_color(sh_in, dirs, sh_deg), 0.0, 1.0)
 
     attrs = SplatAttrs(
-        center_px=center_px,
+        center_px=jnp.stack([cx, cy], axis=-1),
         conic=jnp.stack([conic_a, conic_b, conic_c], axis=-1),
         color=color,
         opacity=opacity,
-        extents=extents,
+        extents=jnp.stack([x_extent_cap, y_extent_cap], axis=-1),
     )
     aux = SplatAux(
         depth=jax.lax.stop_gradient(tz),
