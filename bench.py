@@ -4,23 +4,45 @@ Scenario ~ BASELINE config 3 at scale: 100k Gaussians, 800x600 target, full
 step (projection + binning + Pallas forward/backward rasterization + loss +
 gated Adam).
 
-The reference publishes no numbers (BASELINE.md); its operative target is
-">=10x the browser pipeline's iters/sec on a single v5e chip".  We take a
-browser WebGPU 3DGS trainer at this scene scale to be ~10 iters/s (a
-desktop-GPU estimate; the reference's own meter is its only measurement
-hook), so vs_baseline = iters_per_sec / 10.
+Baseline derivation (the reference publishes no numbers — BASELINE.md):
+the reference's only measurement hook is its live iters/s meter
+(reference trainer.ts:648-651).  Its per-step device work at this scale is
+one full fwd+sort+raster+bwd+Adam pass over ~100k splats at 800x600 — the
+same shape as ours.  Public WebGPU 3DGS trainer reports on desktop GPUs
+cluster around 5-20 it/s at this scene scale; we cannot measure the browser
+pipeline here (no GPU, no egress), so we take the midpoint-ish
+
+    BROWSER_BASELINE_ITERS_PER_SEC = 10.0   (assumption, not a measurement)
+
+and report BOTH ratios honestly:
+  - vs_baseline    = iters_per_sec / 10      (vs the assumed browser rate)
+  - vs_target_10x  = iters_per_sec / 100     (vs the >=10x-browser north
+                                              star of BASELINE.json)
+
+The declared metric in BASELINE.json is "train iters/sec + rendered
+Mpix/sec/chip"; both appear in the JSON line below.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 BROWSER_BASELINE_ITERS_PER_SEC = 10.0
+TARGET_ITERS_PER_SEC = 10.0 * BROWSER_BASELINE_ITERS_PER_SEC
 
 
 def main():
     import jax
+
+    # Smoke mode for environments without the chip (WEBDGS_BENCH_PLATFORM=cpu
+    # with WEBDGS_BENCH_SCALE=tiny): same code path, toy shapes.
+    if os.environ.get("WEBDGS_BENCH_PLATFORM"):
+        jax.config.update("jax_platforms",
+                          os.environ["WEBDGS_BENCH_PLATFORM"])
+    tiny = os.environ.get("WEBDGS_BENCH_SCALE") == "tiny"
+
     import jax.numpy as jnp
 
     from webdgs_tpu.config import RenderSettings
@@ -29,8 +51,8 @@ def main():
     from webdgs_tpu.render.renderer import render
     from webdgs_tpu.train.step import train_step
 
-    n = 100_000
-    w, h = 800, 600
+    n = 500 if tiny else 100_000
+    w, h = (128, 96) if tiny else (800, 600)
     rng = np.random.default_rng(0)
 
     from webdgs_tpu.core.scene import scene_from_arrays
@@ -64,19 +86,39 @@ def main():
     s, o, _ = step(scene, opt)  # compile
     _ = float(jnp.sum(s.means))  # sync
 
-    iters = 20
+    iters = 3 if tiny else 20
     t0 = time.perf_counter()
     for _ in range(iters):
         s, o, m = step(s, o)
     _ = float(jnp.sum(s.means))  # forces the whole dependency chain
     dt = (time.perf_counter() - t0) / iters
-
     value = 1.0 / dt
+
+    # Rendered Mpix/s/chip: forward-only frames at the same scene/viewport,
+    # with the same adaptive entry capacity a Viewer would settle on.
+    img = render(scene, cam, w, h, settings, entry_capacity=cap).image
+    img.block_until_ready()
+    frames = 3 if tiny else 20
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        img = render(scene, cam, w, h, settings, entry_capacity=cap).image
+    img.block_until_ready()
+    fdt = (time.perf_counter() - t0) / frames
+    mpix_per_sec = (w * h / 1e6) / fdt
+
+    metric = "train_iters_per_sec_100k_splats_800x600_v5e1"
+    if tiny:
+        metric += "_SMOKE_TINY"
     print(json.dumps({
-        "metric": "train_iters_per_sec_100k_splats_800x600_v5e1",
+        "metric": metric,
         "value": round(value, 2),
         "unit": "iters/s",
         "vs_baseline": round(value / BROWSER_BASELINE_ITERS_PER_SEC, 2),
+        "vs_target_10x": round(value / TARGET_ITERS_PER_SEC, 3),
+        "render_mpix_per_sec_per_chip": round(mpix_per_sec, 2),
+        "baseline_note": "browser baseline 10 it/s is an assumption "
+                         "(reference publishes no numbers); target is "
+                         "10x that per BASELINE.json",
     }))
 
 
