@@ -218,3 +218,83 @@ def test_viewer_server_stats(tmp_path):
         assert stats["render_mode"] == "gaussian"
     finally:
         server.shutdown()
+
+
+def test_serve_train_live():
+    """VERDICT item 6: live training through the server API — training
+    steps advance in the background thread, the HUD stats expose the
+    training widget fields, T-toggle pauses, and frames render the
+    currently-training scene (reference main.ts:537-608,130-167)."""
+    import threading
+    import time
+    import urllib.request
+    import json as _json
+
+    from webdgs_tpu.core.camera import CameraData, default_camera
+    from webdgs_tpu.config import RenderSettings
+    from webdgs_tpu.render.renderer import render
+    from webdgs_tpu.render.server import ViewerServer, make_http_server
+    from webdgs_tpu.train.config import TrainerConfig
+    from webdgs_tpu.train.trainer import Trainer
+
+    w = h = 32
+    settings = RenderSettings(chunk=128)
+    gt = random_scene(10, seed=80)
+    gt = gt.replace(opacity_logits=gt.opacity_logits + 2.0)
+    fy = 0.5 * h / np.tan(np.radians(45.0) / 2)
+    cams, imgs = [], []
+    for i, pos in enumerate([(0, 0, -5.0), (0.3, 0, -5.0)]):
+        cam = default_camera(w, h, position=pos)
+        img = np.asarray(render(gt, cam, w, h, settings).image)
+        cams.append(CameraData(id=i, position=np.asarray(pos, np.float32),
+                               rotation=np.eye(3, dtype=np.float32),
+                               fx=fy, fy=fy, width=w, height=h))
+        imgs.append({"name": f"v{i}", "image": img, "width": w, "height": h})
+
+    cfg = TrainerConfig(max_iterations=1000)  # paused by the test, not the cap
+    trainer = Trainer(random_scene(8, seed=81), cams, imgs, cfg, settings)
+    viewer = Viewer(trainer.scene, w, h, settings)
+    viewer.control.position = np.array([0, 0, -5.0], np.float32)
+
+    vs = ViewerServer(viewer, trainer=trainer)
+    server = make_http_server(vs, "127.0.0.1", 0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+    try:
+        # wait until at least 3 steps ran (first step compiles)
+        deadline = time.time() + 300
+        tr = {}
+        while time.time() < deadline:
+            stats = _json.loads(urllib.request.urlopen(
+                f"{url}/stats", timeout=60).read())
+            tr = stats.get("trainer") or {}
+            if tr.get("iteration", 0) >= 3:
+                break
+            time.sleep(0.2)
+        assert tr.get("iteration", 0) >= 3, f"trainer never advanced: {tr}"
+        assert tr["training"] is True
+        assert tr["max_iterations"] == 1000
+        assert tr["next_densify"] == 500  # warmup default
+        assert tr["loss"] is not None and tr["psnr"] is not None
+
+        # pause via the control endpoint (T key in the page)
+        req = urllib.request.Request(f"{url}/control",
+                                     data=b'{"toggle_train": 1}',
+                                     method="POST")
+        urllib.request.urlopen(req, timeout=60)
+        it0 = _json.loads(urllib.request.urlopen(
+            f"{url}/stats", timeout=60).read())["trainer"]["iteration"]
+        time.sleep(1.0)
+        s1 = _json.loads(urllib.request.urlopen(
+            f"{url}/stats", timeout=60).read())["trainer"]
+        assert s1["training"] is False
+        assert s1["iteration"] == it0  # no steps while paused
+
+        # frames render the trained scene (viewer picked up the new pytree)
+        jpg = urllib.request.urlopen(f"{url}/frame.jpg", timeout=120).read()
+        assert jpg[:2] == b"\xff\xd8"
+        assert viewer.scene is trainer.scene
+    finally:
+        server.shutdown()
+        vs.shutdown()

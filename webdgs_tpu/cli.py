@@ -9,6 +9,9 @@ here:
                    --images <dir> [--iterations N] [--lr-pos ...] ...
   webdgs-tpu render ckpt.npz --out img.png [--view 0]
   webdgs-tpu export ckpt.npz --out scene.ply
+  webdgs-tpu serve scene.ply [--port 8000]              # view mode
+  webdgs-tpu serve --train --points ... --cameras ... --images ...
+                                        # live training in the browser
 
 Flag names and defaults mirror the reference's slider surface
 (index.html:105-179, SURVEY.md section 5).
@@ -19,6 +22,51 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+
+
+def _add_train_args(t, required: bool):
+    """Dataset + training flags, shared by ``train`` and ``serve --train``.
+    Flag names and defaults mirror the reference's slider surface
+    (index.html:105-179, trainer.ts:100-164, adam-config.ts:12-21)."""
+    t.add_argument("--points", required=required,
+                   help="initial PLY or COLMAP points3D.bin")
+    t.add_argument("--cameras", nargs="+", required=required,
+                   help="images.bin + cameras.bin, or a cameras JSON")
+    t.add_argument("--images", required=required, help="image dir or files")
+    t.add_argument("--iterations", type=int, default=10_000)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--config", default=None,
+                   help="JSON file of deep-partial TrainerConfig overrides")
+    t.add_argument("--resume", default=None,
+                   help="checkpoint .npz to resume from")
+    # loss (trainer.ts:100-104)
+    t.add_argument("--lambda-l1", type=float, default=0.8)
+    t.add_argument("--lambda-l2", type=float, default=0.0)
+    t.add_argument("--lambda-dssim", type=float, default=0.2)
+    # adam (adam-config.ts:12-21)
+    t.add_argument("--lr-pos", type=float, default=0.00016)
+    t.add_argument("--lr-color", type=float, default=0.0025)
+    t.add_argument("--lr-opacity", type=float, default=0.05)
+    t.add_argument("--lr-scale", type=float, default=0.005)
+    t.add_argument("--lr-rot", type=float, default=0.001)
+    t.add_argument("--full-sh", action="store_true",
+                   help="train all SH bands (reference trains DC only)")
+    t.add_argument("--lr-pos-final", type=float, default=0.0,
+                   help="enable exponential position-lr decay to this value")
+    t.add_argument("--bias-correction", action="store_true",
+                   help="enable Adam bias correction (reference omits it)")
+    # densify (trainer.ts:147-164)
+    t.add_argument("--no-densify", action="store_true")
+    t.add_argument("--densify-warmup", type=int, default=500)
+    t.add_argument("--densify-interval", type=int, default=100)
+    t.add_argument("--densify-stop", type=int, default=15_000)
+    t.add_argument("--metric-views", type=int, default=10)
+    t.add_argument("--metric-downscale", type=int, default=2)
+    t.add_argument("--metric-threshold", type=float, default=0.5)
+    t.add_argument("--max-new-points", type=int, default=5000)
+    t.add_argument("--prune-opacity", type=float, default=0.01)
+    t.add_argument("--clone-threshold", type=int, default=500)
+    t.add_argument("--split-scale-threshold", type=float, default=1.0)
 
 
 def _add_common_render_args(p):
@@ -47,11 +95,12 @@ def cmd_view(args):
     print(f"wrote {len(paths)} frames to {args.out}")
 
 
-def cmd_train(args):
+def _build_trainer(args):
+    """Load the dataset and construct a Trainer from CLI flags (shared by
+    ``train`` and ``serve --train``)."""
     from webdgs_tpu.io.colmap import load_cameras
     from webdgs_tpu.io.images import load_images
-    from webdgs_tpu.io.ply import load_point_cloud, save_ply
-    from webdgs_tpu.io.checkpoint import save_checkpoint
+    from webdgs_tpu.io.ply import load_point_cloud
     from webdgs_tpu.ops.adam import AdamHyperparameters
     from webdgs_tpu.ops.loss import LossConfig
     from webdgs_tpu.train.config import (DensifyPruneConfig, DensifySchedule,
@@ -109,6 +158,14 @@ def cmd_train(args):
         trainer.resume_from(ck_scene, ck_opt, meta.get("iteration") or 0)
         print(f"resumed from {args.resume} at iteration "
               f"{trainer.iteration}")
+    return trainer
+
+
+def cmd_train(args):
+    from webdgs_tpu.io.checkpoint import save_checkpoint
+    from webdgs_tpu.io.ply import save_ply
+
+    trainer = _build_trainer(args)
     trainer.train(log_every=args.log_every,
                   checkpoint_every=args.checkpoint_every,
                   checkpoint_path=args.out)
@@ -156,11 +213,23 @@ def cmd_serve(args):
     from webdgs_tpu.render.server import ViewerServer
     from webdgs_tpu.render.viewer import Viewer
 
-    scene = _load_scene_any(args.scene)
+    trainer = None
+    if args.train:
+        if not (args.points and args.cameras and args.images):
+            raise SystemExit("serve --train requires --points, --cameras "
+                             "and --images")
+        trainer = _build_trainer(args)
+        scene = trainer.scene
+    elif args.scene:
+        scene = _load_scene_any(args.scene)
+    else:
+        raise SystemExit("serve needs a scene argument (view mode) or "
+                         "--train with dataset flags")
     viewer = Viewer(scene, args.width, args.height, _settings(args))
     if args.position:
         viewer.control.position = np.asarray(args.position, np.float32)
-    ViewerServer(viewer).serve(port=args.port, host=args.host)
+    ViewerServer(viewer, trainer=trainer).serve(port=args.port,
+                                                host=args.host)
 
 
 def cmd_bench(args):
@@ -183,50 +252,12 @@ def build_parser():
     v.set_defaults(fn=cmd_view)
 
     t = sub.add_parser("train", help="train a scene from COLMAP data")
-    t.add_argument("--points", required=True,
-                   help="initial PLY or COLMAP points3D.bin")
-    t.add_argument("--cameras", nargs="+", required=True,
-                   help="images.bin + cameras.bin, or a cameras JSON")
-    t.add_argument("--images", required=True, help="image dir or files")
-    t.add_argument("--iterations", type=int, default=10_000)
-    t.add_argument("--seed", type=int, default=0)
+    _add_train_args(t, required=True)
     t.add_argument("--log-every", type=int, default=100)
     t.add_argument("--out", default="checkpoint.npz")
     t.add_argument("--export-ply", default=None)
-    t.add_argument("--config", default=None,
-                   help="JSON file of deep-partial TrainerConfig overrides")
-    t.add_argument("--resume", default=None,
-                   help="checkpoint .npz to resume from")
     t.add_argument("--checkpoint-every", type=int, default=0,
                    help="save --out every N iterations")
-    # loss (trainer.ts:100-104)
-    t.add_argument("--lambda-l1", type=float, default=0.8)
-    t.add_argument("--lambda-l2", type=float, default=0.0)
-    t.add_argument("--lambda-dssim", type=float, default=0.2)
-    # adam (adam-config.ts:12-21)
-    t.add_argument("--lr-pos", type=float, default=0.00016)
-    t.add_argument("--lr-color", type=float, default=0.0025)
-    t.add_argument("--lr-opacity", type=float, default=0.05)
-    t.add_argument("--lr-scale", type=float, default=0.005)
-    t.add_argument("--lr-rot", type=float, default=0.001)
-    t.add_argument("--full-sh", action="store_true",
-                   help="train all SH bands (reference trains DC only)")
-    t.add_argument("--lr-pos-final", type=float, default=0.0,
-                   help="enable exponential position-lr decay to this value")
-    t.add_argument("--bias-correction", action="store_true",
-                   help="enable Adam bias correction (reference omits it)")
-    # densify (trainer.ts:147-164)
-    t.add_argument("--no-densify", action="store_true")
-    t.add_argument("--densify-warmup", type=int, default=500)
-    t.add_argument("--densify-interval", type=int, default=100)
-    t.add_argument("--densify-stop", type=int, default=15_000)
-    t.add_argument("--metric-views", type=int, default=10)
-    t.add_argument("--metric-downscale", type=int, default=2)
-    t.add_argument("--metric-threshold", type=float, default=0.5)
-    t.add_argument("--max-new-points", type=int, default=5000)
-    t.add_argument("--prune-opacity", type=float, default=0.01)
-    t.add_argument("--clone-threshold", type=int, default=500)
-    t.add_argument("--split-scale-threshold", type=float, default=1.0)
     _add_common_render_args(t)
     t.set_defaults(fn=cmd_train)
 
@@ -244,11 +275,16 @@ def build_parser():
     e.set_defaults(fn=cmd_export)
 
     sv = sub.add_parser("serve", help="interactive browser viewer "
-                        "(JPEG stream + fly controls)")
-    sv.add_argument("scene")
+                        "(JPEG stream + fly controls); --train runs live "
+                        "training while you watch, like the reference app")
+    sv.add_argument("scene", nargs="?", default=None,
+                    help="PLY/checkpoint to view (omit with --train)")
     sv.add_argument("--port", type=int, default=8000)
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--position", type=float, nargs=3, default=None)
+    sv.add_argument("--train", action="store_true",
+                    help="train while viewing (requires dataset flags)")
+    _add_train_args(sv, required=False)
     _add_common_render_args(sv)
     sv.set_defaults(fn=cmd_serve)
 
@@ -258,6 +294,12 @@ def build_parser():
 
 
 def main(argv=None):
+    # WEBDGS_PLATFORM=cpu pins JAX to a platform before first device use.
+    # (The JAX_PLATFORMS env var is not reliable when a TPU platform plugin
+    # is preloaded; the config update is — see tests/conftest.py.)
+    if os.environ.get("WEBDGS_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["WEBDGS_PLATFORM"])
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -7,6 +7,20 @@ controls (WASD/Space/Ctrl move, Q/E roll, drag to look, wheel to dolly —
 handled by render/camera_control.py with the reference's constants).
 
     python -m webdgs_tpu serve scene.ply --port 8000
+
+Live training (the reference's signature UX — watching the scene converge
+while flying around it, src/main.ts:537-608 interleaves one trainer.step()
+per rAF frame): pass a Trainer and the scene shown in the browser is the
+one being optimized, with the training widget (iteration, iters/s, point
+count, next densify — main.ts:130-167) in the HUD and a pause/resume
+toggle (T key, like the reference's start/stop button).
+
+    python -m webdgs_tpu serve --train --points ... --cameras ... --images ...
+
+Instead of interleaving in one loop, training runs in its own thread — JAX
+dispatch is thread-safe and the TPU serializes the actual device work, so
+frames and train steps share the chip exactly like the reference's single
+WebGPU queue shares the GPU.
 """
 
 from __future__ import annotations
@@ -32,7 +46,8 @@ canvas { display:block; margin:0 auto; }
 <script>
 const c = document.getElementById('c'), ctx = c.getContext('2d');
 let keys = {}, drag = null, wheel = 0;
-onkeydown = e => { keys[e.code] = true; if(e.code=='KeyP') post({toggle_mode:1}); };
+onkeydown = e => { keys[e.code] = true; if(e.code=='KeyP') post({toggle_mode:1});
+                   if(e.code=='KeyT') post({toggle_train:1}); };
 onkeyup = e => keys[e.code] = false;
 c.onpointerdown = e => { drag = [e.pageX, e.pageY]; c.setPointerCapture(e.pointerId); };
 c.onpointerup = () => drag = null;
@@ -59,19 +74,63 @@ async function loop() {
 loop();
 setInterval(async () => {
   const s = await (await fetch('/stats')).json();
-  document.getElementById('stats').textContent =
-    ` | ${s.points} pts | ${s.fps.toFixed(1)} fps | ${s.render_mode}`;
+  let t = ` | ${s.points} pts | ${s.fps.toFixed(1)} fps | ${s.render_mode}`;
+  if (s.trainer) {
+    const tr = s.trainer;
+    t += ` | iter ${tr.iteration}/${tr.max_iterations}`
+       + ` | ${tr.iters_per_sec.toFixed(1)} it/s`
+       + (tr.psnr != null ? ` | psnr ${tr.psnr.toFixed(2)}` : '')
+       + (tr.next_densify != null ? ` | densify@${tr.next_densify}` : '')
+       + (tr.training ? ' | TRAINING (T pauses)' : ' | paused (T resumes)');
+  }
+  document.getElementById('stats').textContent = t;
 }, 1000);
 </script></body></html>
 """
 
 
 class ViewerServer:
-    def __init__(self, viewer, quality: int = 85):
+    def __init__(self, viewer, quality: int = 85, trainer=None,
+                 start_training: bool = True):
         self.viewer = viewer
         self.quality = quality
         self.lock = threading.Lock()
         self.fps = 0.0  # EMA like the reference HUD (main.ts:550-561)
+        self.trainer = trainer
+        self.training = bool(trainer) and start_training
+        self._shutdown = threading.Event()
+        self._train_thread: threading.Thread | None = None
+        if trainer is not None:
+            self._train_thread = threading.Thread(
+                target=self._train_loop, daemon=True, name="webdgs-train")
+            self._train_thread.start()
+
+    # -- live training (reference main.ts:595-600: one step per frame) ----
+    def _train_loop(self) -> None:
+        tr = self.trainer
+        while not self._shutdown.is_set():
+            if tr.iteration >= tr.config.max_iterations:
+                self.training = False
+            if not self.training:
+                self._shutdown.wait(0.05)
+                continue
+            tr.step()
+            # the scene pytree is immutable; publishing the new one to the
+            # frame renderer is a single atomic attribute store (the
+            # analogue of the reference's pointcloud swap, main.ts:508)
+            self.viewer.set_point_cloud(tr.scene)
+
+    def toggle_training(self) -> bool:
+        if self.trainer is None:
+            return False
+        if self.trainer.iteration < self.trainer.config.max_iterations:
+            self.training = not self.training
+        return self.training
+
+    def shutdown(self) -> None:
+        self._shutdown.set()
+        if self._train_thread is not None:
+            self._train_thread.join(timeout=30)
 
     def handle_control(self, msg: dict) -> None:
         ctl = self.viewer.control
@@ -92,17 +151,36 @@ class ViewerServer:
                 self.viewer.set_render_mode(
                     "pointcloud" if self.viewer.render_mode == "gaussian"
                     else "gaussian")
+            if "toggle_train" in msg:
+                self.toggle_training()
 
     def stats(self) -> dict:
         """HUD stats, the analogue of the reference's live widget
-        (main.ts:130-167): fps, point count, render mode."""
-        return {
+        (main.ts:130-167): fps, point count, render mode, and — when a
+        trainer is attached — iteration, iters/s, psnr, next densify."""
+        out = {
             "fps": self.fps,
             "points": int(self.viewer.scene.num_alive()),
             "render_mode": self.viewer.render_mode,
             "width": self.viewer.width,
             "height": self.viewer.height,
         }
+        if self.trainer is not None:
+            tr = self.trainer
+            m = tr.last_metrics
+            psnr = m.get("psnr") if isinstance(m, dict) else None
+            out["trainer"] = {
+                "iteration": tr.iteration,
+                "max_iterations": tr.config.max_iterations,
+                "iters_per_sec": tr.iters_per_sec,
+                "points": tr.num_points,
+                "psnr": None if psnr is None else float(psnr),
+                "loss": (None if not isinstance(m, dict) or "loss" not in m
+                         else float(m["loss"])),
+                "next_densify": tr.next_densify_iteration(),
+                "training": self.training,
+            }
+        return out
 
     def frame_jpeg(self) -> bytes:
         from PIL import Image
@@ -119,8 +197,12 @@ class ViewerServer:
 
     def serve(self, port: int = 8000, host: str = "127.0.0.1") -> None:
         server = make_http_server(self, host, port)
-        print(f"viewer at http://{host}:{port}/")
-        server.serve_forever()
+        mode = " (live training)" if self.trainer is not None else ""
+        print(f"viewer at http://{host}:{port}/{mode}")
+        try:
+            server.serve_forever()
+        finally:
+            self.shutdown()
 
 
 def make_http_server(vs: ViewerServer, host: str, port: int):
