@@ -16,15 +16,16 @@ designed so *nothing O(entries) is ever binary-searched or scattered*:
   ``(tile_id << 16) | (ordered_depth >> 16)`` (tiled-forward.wgsl:121-136)
   and are sorted by one ``jax.lax.sort`` with an index payload;
 * the rasterizer wants every tile's entry range chunk-aligned (DMA slices in
-  the lane dimension must be 128-aligned).  Instead of re-laying-out after
-  the sort, we *inject alignment-padding entries before the sort*: per-tile
-  occupancy comes from a corner-scatter 2D prefix-sum over the Gaussians'
-  tile rects (an O(N) histogram, not O(E)), each tile gets
-  ``(-count) % chunk`` padding entries whose depth key is the maximal
-  0xFFFF (real depths clamp to 0xFFFE), so padding sorts to the end of its
-  tile's range and every range length — hence every range start — is a
-  chunk multiple by construction.  Tile offsets are then just a cumsum over
-  tiles.
+  the lane dimension must be 128-aligned).  Per-tile occupancy comes from a
+  corner-scatter 2D prefix-sum over the Gaussians' tile rects (an O(N)
+  histogram, not O(E)), which fixes every tile's *aligned* range up front;
+  only the real entries are sorted, and the counting-sort-style realignment
+  into the padded layout is a pure gather: output slot ``k`` (in tile ``t``,
+  found per 128-slot chunk since range starts are chunk multiples) reads
+  sorted slot ``k - (aligned_offset[t] - unaligned_offset[t])`` and is
+  valid while ``k - aligned_offset[t] < count[t]``.  No padding entries
+  ever enter the sort (they used to add total_tiles*chunk slots to it),
+  and tile offsets are just a cumsum over tiles.
 
 Entries beyond the static capacity are dropped whole-Gaussian, mirroring the
 reference's maxTileEntries budget (src/renderers/tiled-forward-pass.ts:
@@ -188,44 +189,56 @@ def bin_splats(aux: SplatAux, img_w: int, img_h: int,
     key = jnp.where(valid, (tile << 16) | ef[:, 4].astype(jnp.uint32),
                     jnp.uint32(0xFFFFFFFF))
 
-    # --- alignment padding: per-tile depth-0xFFFF entries so each tile's
-    # range length (and therefore start) is a chunk multiple ---
-    tile_counts = _tile_histogram(aux, keep, ntx, nty)
-    n_pad = (-tile_counts) % chunk
-    pad_tile = _repeat_ids(n_pad, pad_cap)
-    pad_used = jnp.arange(pad_cap, dtype=jnp.int32) < jnp.sum(n_pad)
-    pad_key = jnp.where(
-        pad_used, (pad_tile.astype(jnp.uint32) << 16) | jnp.uint32(0xFFFF),
-        jnp.uint32(0xFFFFFFFF))
-
     if with_source is None:
         with_source = e_cap >= settings.grad_reduce_threshold
 
-    all_keys = jnp.concatenate([key, pad_key])
-    all_gauss = jnp.concatenate([g, jnp.zeros((pad_cap,), jnp.int32)])
+    # --- depth sort of the real entries only (the reference sorts the same
+    # set, radix_sort.wgsl; alignment padding never enters the sort) ---
     if with_source:
-        source = jnp.arange(e_cap + pad_cap, dtype=jnp.int32)
-        sorted_key, sorted_gauss, sorted_source = jax.lax.sort(
-            (all_keys, all_gauss, source), num_keys=1)
+        # single payload through the sort network; gauss ids are recovered
+        # by one gather afterwards
+        source = jnp.arange(e_cap, dtype=jnp.int32)
+        _, sorted_source = jax.lax.sort((key, source), num_keys=1)
+        sorted_gauss = g[sorted_source]
     else:
-        sorted_key, sorted_gauss = jax.lax.sort((all_keys, all_gauss),
-                                                num_keys=1)
+        _, sorted_gauss = jax.lax.sort((key, g), num_keys=1)
         sorted_source = None
-    sorted_valid = (sorted_key & jnp.uint32(0xFFFF)) != jnp.uint32(0xFFFF)
 
-    # aligned ranges are now a plain cumsum over tiles
-    aligned_counts = tile_counts + n_pad
+    # --- counting-sort realignment: scatter-free placement of the sorted
+    # entries into chunk-aligned per-tile ranges, derived purely from the
+    # corner-histogram (replaces the reference's atomicMin tile-ranges pass,
+    # tile-ranges.wgsl:73-104) ---
+    tile_counts = _tile_histogram(aux, keep, ntx, nty)
+    aligned_counts = -(-tile_counts // chunk) * chunk
+    unaligned_off = jnp.cumsum(tile_counts) - tile_counts  # (T,)
+    aligned_off = jnp.cumsum(aligned_counts) - aligned_counts  # (T,)
     tile_offsets = jnp.concatenate([
         jnp.zeros((1,), jnp.int32),
         jnp.cumsum(aligned_counts).astype(jnp.int32),
     ])
 
+    a_cap = e_cap + pad_cap
+    # every aligned range starts at a chunk multiple, so each 128-slot chunk
+    # belongs to exactly one tile: one small searchsorted over chunks
+    chunk_starts = jnp.arange(a_cap // chunk, dtype=jnp.int32) * chunk
+    chunk_tile = jnp.clip(
+        jnp.searchsorted(tile_offsets[1:], chunk_starts, side="right"),
+        0, total_tiles - 1)
+    k_tile = jnp.repeat(chunk_tile, chunk)  # (A,) — static repeat count
+    k_idx = jnp.arange(a_cap, dtype=jnp.int32)
+    within = k_idx - aligned_off[k_tile]
+    out_valid = within < tile_counts[k_tile]
+    src = jnp.clip(k_idx - (aligned_off - unaligned_off)[k_tile], 0,
+                   e_cap - 1)
+    entry_gauss = sorted_gauss[src]
+    entry_source = sorted_source[src] if with_source else None
+
     return Binning(
-        entry_gauss=sorted_gauss,
-        entry_valid=sorted_valid,
+        entry_gauss=entry_gauss,
+        entry_valid=out_valid,
         tile_offsets=tile_offsets,
         tile_counts=tile_counts,
         total_entries=total,
-        entry_source=sorted_source,
+        entry_source=entry_source,
         gauss_counts=counts if with_source else None,
     )
