@@ -177,3 +177,43 @@ def test_tile_sharded_more_devices_than_rows(mesh):
                                              SETTINGS))
     assert sharded.shape == (h, w, 3)
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_gaussian_sharded_render_matches_single(mesh):
+    """Entry all-to-all render: gaussian-axis sharding + band exchange must
+    match the single-device frame (O(E/D) per-chip entry memory)."""
+    from webdgs_tpu.parallel.sharding import render_gaussian_sharded
+
+    w, h = 64, 64
+    scene = random_scene(80, seed=25)
+    d = len(mesh.devices.reshape(-1))
+    cap = -(-scene.capacity // d) * d
+    scene = scene.pad_to(cap)
+    cam = default_camera(w, h, position=(0.0, 0.0, -5.0))
+    single = np.asarray(render(scene, cam, w, h, SETTINGS).image)
+    sharded, dropped = render_gaussian_sharded(scene, cam, w, h, mesh,
+                                               SETTINGS)
+    assert int(dropped) == 0
+    np.testing.assert_allclose(np.asarray(sharded), single, rtol=1e-5,
+                               atol=1e-5)
+
+
+@pytest.mark.slow
+def test_gaussian_sharded_render_drop_budget(mesh):
+    """With a tiny send budget a concentrated scene overflows: the render
+    degrades (reference maxTileEntries semantics) and reports the drops."""
+    from webdgs_tpu.parallel.sharding import render_gaussian_sharded
+
+    w, h = 64, 64
+    scene = random_scene(400, seed=26)
+    # concentrate everything: large splats all over one band
+    scene = scene.replace(log_scales=scene.log_scales + 1.5)
+    d = len(mesh.devices.reshape(-1))
+    scene = scene.pad_to(-(-scene.capacity // d) * d)
+    cam = default_camera(w, h, position=(0.0, 0.0, -5.0))
+    img, dropped = render_gaussian_sharded(scene, cam, w, h, mesh, SETTINGS,
+                                           send_capacity=SETTINGS.chunk)
+    assert img.shape == (h, w, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    assert int(dropped) > 0

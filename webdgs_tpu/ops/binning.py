@@ -140,24 +140,24 @@ def _repeat_ids(counts: jax.Array, total_len: int) -> jax.Array:
     return jnp.maximum(jax.lax.cummax(seed) - 1, 0)
 
 
-def bin_splats(aux: SplatAux, img_w: int, img_h: int,
-               settings: RenderSettings,
-               capacity: int | None = None,
-               with_source: bool | None = None) -> Binning:
-    n = aux.num_tiles.shape[0]
-    e_cap = capacity if capacity is not None else entry_capacity(n, settings)
-    chunk = settings.chunk
-    ntx, nty = tile_grid(img_w, img_h, settings)
-    total_tiles = ntx * nty
+def check_tile_key_limit(total_tiles: int) -> None:
     if total_tiles >= 0xFFFF:
         # tile ids share a u32 key with 16 depth bits, like the reference's
         # (tile+1)<<16 keys (tiled-forward.wgsl:133-136): ~4K x 4K images max
         raise ValueError(
             f"{total_tiles} tiles exceeds the 16-bit tile-key limit; "
             "increase tile size or shard the image")
-    pad_cap = total_tiles * chunk
 
-    # --- budget: drop whole Gaussians that would overflow the capacity ---
+
+def expand_entries(aux: SplatAux, ntx: int, e_cap: int):
+    """Ragged expansion of per-Gaussian tile rects into per-entry sort keys,
+    in expansion (gaussian-grouped) order — the analogue of the reference's
+    emit_main (tiled-forward.wgsl:298-354).
+
+    Returns (key, g, counts, total): the 32-bit (tile<<16)|depth16 key and
+    gaussian index per expansion slot, the per-Gaussian kept entry counts,
+    and the total real entry count.  Gaussians that would overflow ``e_cap``
+    are dropped whole (the reference's maxTileEntries budget)."""
     counts0 = aux.num_tiles
     keep = jnp.cumsum(counts0) <= e_cap
     counts = jnp.where(keep, counts0, 0)
@@ -165,8 +165,8 @@ def bin_splats(aux: SplatAux, img_w: int, img_h: int,
     offsets = cum_incl - counts
     total = cum_incl[-1]
 
-    # --- ragged expansion: entry -> gaussian, then one row-gather of the
-    # packed per-Gaussian binning fields ---
+    # entry -> gaussian, then one row-gather of the packed per-Gaussian
+    # binning fields
     g = _repeat_ids(counts, e_cap)
     fields = jnp.stack([
         offsets,
@@ -188,6 +188,53 @@ def bin_splats(aux: SplatAux, img_w: int, img_h: int,
     # +1 tile bias: invalid entries get the all-ones key and sort last
     key = jnp.where(valid, (tile << 16) | ef[:, 4].astype(jnp.uint32),
                     jnp.uint32(0xFFFFFFFF))
+    return key, g, counts, total, keep
+
+
+def aligned_tile_layout(tile_counts: jax.Array, chunk: int):
+    """Chunk-aligned per-tile ranges from exact per-tile counts.  Returns
+    (tile_offsets (T+1,), aligned_off (T,), unaligned_off (T,))."""
+    aligned_counts = -(-tile_counts // chunk) * chunk
+    unaligned_off = jnp.cumsum(tile_counts) - tile_counts
+    aligned_off = jnp.cumsum(aligned_counts) - aligned_counts
+    tile_offsets = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(aligned_counts).astype(jnp.int32),
+    ])
+    return tile_offsets, aligned_off, unaligned_off
+
+
+def realign_sorted(tile_offsets, aligned_off, unaligned_off, tile_counts,
+                   a_cap: int, chunk: int, total_tiles: int, src_cap: int):
+    """Counting-sort placement indices: for each slot ``k`` of the aligned
+    layout, the source index into the tile/depth-sorted entry array and a
+    validity mask.  Pure index arithmetic from the per-tile counts."""
+    chunk_starts = jnp.arange(a_cap // chunk, dtype=jnp.int32) * chunk
+    chunk_tile = jnp.clip(
+        jnp.searchsorted(tile_offsets[1:], chunk_starts, side="right"),
+        0, total_tiles - 1)
+    k_tile = jnp.repeat(chunk_tile, chunk)  # (A,) — static repeat count
+    k_idx = jnp.arange(a_cap, dtype=jnp.int32)
+    within = k_idx - aligned_off[k_tile]
+    out_valid = within < tile_counts[k_tile]
+    src = jnp.clip(k_idx - (aligned_off - unaligned_off)[k_tile], 0,
+                   src_cap - 1)
+    return src, out_valid
+
+
+def bin_splats(aux: SplatAux, img_w: int, img_h: int,
+               settings: RenderSettings,
+               capacity: int | None = None,
+               with_source: bool | None = None) -> Binning:
+    n = aux.num_tiles.shape[0]
+    e_cap = capacity if capacity is not None else entry_capacity(n, settings)
+    chunk = settings.chunk
+    ntx, nty = tile_grid(img_w, img_h, settings)
+    total_tiles = ntx * nty
+    check_tile_key_limit(total_tiles)
+    pad_cap = total_tiles * chunk
+
+    key, g, counts, total, keep = expand_entries(aux, ntx, e_cap)
 
     if with_source is None:
         with_source = e_cap >= settings.grad_reduce_threshold
@@ -209,27 +256,13 @@ def bin_splats(aux: SplatAux, img_w: int, img_h: int,
     # corner-histogram (replaces the reference's atomicMin tile-ranges pass,
     # tile-ranges.wgsl:73-104) ---
     tile_counts = _tile_histogram(aux, keep, ntx, nty)
-    aligned_counts = -(-tile_counts // chunk) * chunk
-    unaligned_off = jnp.cumsum(tile_counts) - tile_counts  # (T,)
-    aligned_off = jnp.cumsum(aligned_counts) - aligned_counts  # (T,)
-    tile_offsets = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32),
-        jnp.cumsum(aligned_counts).astype(jnp.int32),
-    ])
+    tile_offsets, aligned_off, unaligned_off = aligned_tile_layout(
+        tile_counts, chunk)
 
     a_cap = e_cap + pad_cap
-    # every aligned range starts at a chunk multiple, so each 128-slot chunk
-    # belongs to exactly one tile: one small searchsorted over chunks
-    chunk_starts = jnp.arange(a_cap // chunk, dtype=jnp.int32) * chunk
-    chunk_tile = jnp.clip(
-        jnp.searchsorted(tile_offsets[1:], chunk_starts, side="right"),
-        0, total_tiles - 1)
-    k_tile = jnp.repeat(chunk_tile, chunk)  # (A,) — static repeat count
-    k_idx = jnp.arange(a_cap, dtype=jnp.int32)
-    within = k_idx - aligned_off[k_tile]
-    out_valid = within < tile_counts[k_tile]
-    src = jnp.clip(k_idx - (aligned_off - unaligned_off)[k_tile], 0,
-                   e_cap - 1)
+    src, out_valid = realign_sorted(tile_offsets, aligned_off, unaligned_off,
+                                    tile_counts, a_cap, chunk, total_tiles,
+                                    e_cap)
     entry_gauss = sorted_gauss[src]
     entry_source = sorted_source[src] if with_source else None
 

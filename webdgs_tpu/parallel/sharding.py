@@ -183,3 +183,130 @@ def render_tile_sharded(scene: GaussianScene, camera: Camera, img_w: int,
     if gather:
         img = jax.device_get(img)
     return img[:img_h] if gather else img
+
+
+# ---------------------------------------------------------------------------
+# gaussian-sharded rendering with entry all-to-all
+# ---------------------------------------------------------------------------
+
+def render_gaussian_sharded(scene: GaussianScene, camera: Camera,
+                            img_w: int, img_h: int, mesh: Mesh,
+                            settings: RenderSettings = DEFAULT_SETTINGS,
+                            send_capacity: int | None = None,
+                            gather: bool = True):
+    """Scale-out render: the Gaussian axis is sharded across the mesh and
+    tile entries are exchanged to their band owners over ICI.
+
+    Each device projects and expands only its N/D Gaussians (O(N/D) work and
+    memory — ``render_tile_sharded`` replicates both), sorts its local
+    entries by the global tile key, slices them into per-band blocks, and one
+    ``all_to_all`` delivers every band's entries to its owner, which merges,
+    realigns, and rasterizes its tile rows.  Per-chip entry memory is
+    O(E/D * slack) instead of O(E).
+
+    ``send_capacity``: per-destination-band entry budget each device may
+    send (default 2x the uniform share, chunk-rounded).  A band more
+    concentrated than the slack drops the overflow — the same
+    degrade-under-budget semantics as the reference's maxTileEntries
+    (tiled-forward-pass.ts:137-158).  The dropped-entry count is returned
+    so callers can grow the budget adaptively like the Trainer's entry
+    capacity.
+
+    Returns (image, dropped) — dropped is a scalar int array.
+    """
+    axis = mesh.axis_names[0]
+    d = mesh.devices.size
+    chunk = settings.chunk
+    if scene.capacity % d != 0:
+        raise ValueError(
+            f"scene capacity {scene.capacity} not divisible by mesh size "
+            f"{d}; pad_to a multiple first")
+    ntx, nty = binning_ops.tile_grid(img_w, img_h, settings)
+    binning_ops.check_tile_key_limit(ntx * (-(-nty // d) * d))
+    nty_pad = -(-nty // d) * d
+    rows = nty_pad // d
+    band_h = rows * settings.tile_h
+    band_tiles = ntx * rows
+
+    n_loc = scene.capacity // d
+    e_loc = binning_ops.entry_capacity(n_loc, settings)
+    if send_capacity is None:
+        send_capacity = min(-(-2 * (e_loc // max(d, 1)) // chunk) * chunk,
+                            e_loc)
+    s_cap = max(send_capacity, chunk)
+    recv = d * s_cap
+    a_cap = recv + band_tiles * chunk  # aligned band capacity
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(P(axis),),
+                       out_specs=(P(axis), P()), check_vma=False)
+    def run(scene_l):
+        b = jax.lax.axis_index(axis)
+        attrs, aux = project_gaussians(scene_l.params(), scene_l.alive,
+                                       camera, img_w, img_h, scene_l.sh_deg,
+                                       settings)
+        key, g, _, _, _ = binning_ops.expand_entries(aux, ntx, e_loc)
+        skey, sg = jax.lax.sort((key, g), num_keys=1)
+
+        # sorted by tile => grouped by destination band (bands are
+        # contiguous tile-row blocks); per-band slices via searchsorted
+        band_bound_keys = (jnp.arange(d + 1, dtype=jnp.uint32)
+                           * jnp.uint32(band_tiles)) << 16
+        bounds = jnp.searchsorted(skey, band_bound_keys).astype(jnp.int32)
+        band_off = bounds[:-1]
+        band_cnt = bounds[1:] - bounds[:-1]
+        dropped_local = jnp.sum(jnp.maximum(band_cnt - s_cap, 0))
+
+        # send buffer (d, s_cap): block b goes to device b
+        slot = jnp.arange(d * s_cap, dtype=jnp.int32)
+        sb = slot // s_cap
+        j = slot % s_cap
+        src = jnp.clip(band_off[sb] + j, 0, e_loc - 1)
+        s_valid = j < band_cnt[sb]
+        send_keys = jnp.where(s_valid, skey[src], jnp.uint32(0xFFFFFFFF))
+        per_g = raster_ops._pack_per_gauss(attrs)  # (n_loc, 16)
+        send_rows = jnp.where(s_valid[:, None], per_g[sg[src]], 0.0)
+
+        keys_r = jax.lax.all_to_all(
+            send_keys.reshape(d, s_cap), axis, 0, 0).reshape(recv)
+        rows_r = jax.lax.all_to_all(
+            send_rows.reshape(d, s_cap, raster_ops.NUM_ROWS), axis, 0, 0
+        ).reshape(recv, raster_ops.NUM_ROWS)
+
+        # merge the d sorted runs (one sort; keys are globally unique enough
+        # — equal keys may reorder, same as the reference's radix ties)
+        mkey, perm = jax.lax.sort(
+            (keys_r, jnp.arange(recv, dtype=jnp.int32)), num_keys=1)
+
+        # exact per-tile counts for MY band from the received keys (drops
+        # included), so the aligned layout is self-consistent
+        tile0 = b.astype(jnp.uint32) * jnp.uint32(band_tiles)
+        tbounds = jnp.searchsorted(
+            mkey, (tile0 + jnp.arange(band_tiles + 1, dtype=jnp.uint32))
+            << 16).astype(jnp.int32)
+        tile_counts = tbounds[1:] - tbounds[:-1]
+        tile_offsets, aligned_off, unaligned_off = \
+            binning_ops.aligned_tile_layout(tile_counts, chunk)
+        src2, valid2 = binning_ops.realign_sorted(
+            tile_offsets, aligned_off, unaligned_off, tile_counts, a_cap,
+            chunk, band_tiles, recv)
+
+        entry_rows = jnp.where(valid2[:, None], rows_r[perm[src2]], 0.0)
+        # shift centers into band pixel coordinates (row 1 = center_y)
+        shift = (b * rows * settings.tile_h).astype(jnp.float32)
+        entry_rows = entry_rows.at[:, 1].add(
+            jnp.where(valid2, -shift, 0.0))
+        attrs16 = entry_rows.T
+
+        out = raster_ops.rasterize_tiles(attrs16, tile_offsets, ntx, rows,
+                                         settings)
+        tiles = raster_ops.tiles_to_image(out, ntx, rows, img_w, band_h,
+                                          settings)
+        img_band = raster_ops.composite_background(tiles, settings)
+        dropped = jax.lax.psum(dropped_local, axis)
+        return img_band, dropped
+
+    img, dropped = run(scene)  # (nty_pad*tile_h, W, 3) row-sharded
+    if gather:
+        img = jax.device_get(img)
+        return img[:img_h], dropped
+    return img, dropped

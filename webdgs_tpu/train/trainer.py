@@ -297,26 +297,47 @@ class Trainer:
         nxt = s.warmup_iterations + k * interval
         return nxt if nxt <= s.stop_iterations else None
 
-    def evaluate(self, max_views: int | None = None) -> dict:
-        """Mean PSNR / L1 over the dataset views — quality reporting the
-        reference never had (SURVEY.md section 5: no PSNR/SSIM anywhere)."""
+    @functools.cached_property
+    def _eval_fn(self):
+        """One jitted device loop per resolution group (``lax.map`` keeps
+        memory at a single view while avoiding the old per-view host
+        dispatch and re-jit; one compile per (W, H))."""
         from webdgs_tpu.ops.loss import loss_metrics, ssim
 
-        psnrs, l1s, ssims = [], [], []
-        count = 0
+        @functools.partial(jax.jit,
+                           static_argnames=("img_w", "img_h", "entry_cap"))
+        def run(scene, cams, imgs, img_w, img_h, entry_cap):
+            def one(cam_img):
+                cam, img = cam_img
+                pred = render(scene, cam, img_w, img_h, self.settings,
+                              entry_capacity=entry_cap).image
+                m = loss_metrics(pred, img, self.config.loss)
+                return jnp.stack([m["psnr"], m["l1"], ssim(pred, img)])
+            return jax.lax.map(one, (cams, imgs))  # (V, 3)
+        return run
+
+    def evaluate(self, max_views: int | None = None) -> dict:
+        """Mean PSNR / L1 / SSIM over the dataset views — quality reporting
+        the reference never had (SURVEY.md section 5: no PSNR/SSIM
+        anywhere)."""
+        per_view = []
+        remaining = max_views
         for (w, h), g in self.groups.items():
-            for i in range(g["count"]):
-                if max_views is not None and count >= max_views:
-                    break
-                cam = jax.tree.map(lambda x: x[i], g["cams"])
-                img = render(self.scene, cam, w, h, self.settings).image
-                m = loss_metrics(img, g["imgs"][i], self.config.loss)
-                psnrs.append(float(m["psnr"]))
-                l1s.append(float(m["l1"]))
-                ssims.append(float(ssim(img, g["imgs"][i])))
-                count += 1
-        return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s)),
-                "ssim": float(np.mean(ssims)), "views": count}
+            if remaining is not None and remaining <= 0:
+                break
+            take = g["count"] if remaining is None else min(g["count"],
+                                                            remaining)
+            cams = jax.tree.map(lambda x: x[:take], g["cams"])
+            vals = self._eval_fn(self.scene, cams, g["imgs"][:take],
+                                 w, h, self._entry_cap())
+            per_view.append(np.asarray(vals))
+            if remaining is not None:
+                remaining -= take
+        allv = np.concatenate(per_view, axis=0)
+        return {"psnr": float(allv[:, 0].mean()),
+                "l1": float(allv[:, 1].mean()),
+                "ssim": float(allv[:, 2].mean()),
+                "views": int(allv.shape[0])}
 
     def render_view(self, index: int):
         """Render one dataset view at full resolution."""
