@@ -64,6 +64,13 @@ class RenderSettings:
     # serializes row updates) and 289 ms at 3.5M into 1M; the prefix path
     # costs 7.2 ms / ~45 ms — so it is the default at every scale (0).
     grad_reduce_threshold: int = 0
+    # Precision tier for the rasterizer kernels' general (K-contraction)
+    # matmuls: "bf16x3" = manual hi+lo bf16 split, 3 single-pass MXU matmuls
+    # with ~f16-class error (the same class as the reference's f16 splat
+    # attributes); "highest" = Mosaic's HIGHEST (6 passes, f32-exact).
+    # The compositing prefix always uses the exact hi+lo split (the 0/1
+    # triangle factor is exact in bf16, so 2 passes suffice there).
+    matmul_precision: str = "bf16x3"
 
     @property
     def tile_px(self) -> int:

@@ -124,6 +124,27 @@ def _lane_cumsum(x, k: int):
     return s_hi + s_lo
 
 
+def _dot_general_tiered(a, b, dims, settings: RenderSettings):
+    """General-operand matmul at the settings' precision tier.
+
+    "bf16x3": both operands split hi+lo in bf16; the lo*lo cross term is
+    dropped — 3 single-pass MXU matmuls with relative error ~2^-16 (the
+    f16 class the reference's packed splat attributes live in anyway).
+    "highest": Mosaic HIGHEST (6 passes, f32-exact) — the verification
+    reference for on-chip error measurement (RESULTS.md)."""
+    if settings.matmul_precision == "highest":
+        return jax.lax.dot_general(a, b, dims,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=jnp.float32)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                          preferred_element_type=jnp.float32)
+    return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+
+
 def _pixel_coords(t, ntx, settings: RenderSettings):
     """Pixel-center coordinates of tile t as (P,1) columns."""
     p = settings.tile_px
@@ -177,10 +198,8 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
         c4 = jnp.concatenate(
             [scr[slot, ROW_R:ROW_B + 1, :], jnp.ones((1, k), jnp.float32)],
             axis=0)
-        acc = acc + jax.lax.dot_general(
-            w, c4, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)  # (P, 4)
+        acc = acc + _dot_general_tiered(
+            w, c4, (((1,), (1,)), ((), ())), settings)  # (P, 4)
 
         log_t_un = log_t_un + alog_incl[:, k - 1:k]
         log_t_gated = log_t_gated + jnp.sum(alog * incl, axis=1, keepdims=True)
@@ -267,14 +286,13 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
         live = (alpha > 0.0).astype(jnp.float32) * incl
         w = alpha * t_excl * incl
 
-        c4 = jnp.concatenate(
-            [scr[slot, ROW_R:ROW_B + 1, :], jnp.ones((1, k), jnp.float32)],
-            axis=0)
-        # gamma4[p, j] = sum_ch g4[p, ch] * c4[ch, j]
-        gamma4 = jax.lax.dot_general(
-            g4, c4, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)  # (P, K)
+        # gamma4[p, j] = sum_ch g4[p, ch] * c4[ch, j] — the contraction dim
+        # is only 4, so exact f32 VPU broadcast math beats any MXU tier
+        col = scr[slot]
+        gamma4 = (g4[:, 0:1] * col[ROW_R:ROW_R + 1, :]
+                  + g4[:, 1:2] * col[ROW_G:ROW_G + 1, :]
+                  + g4[:, 2:3] * col[ROW_B:ROW_B + 1, :]
+                  + g4[:, 3:4])  # (P, K); the alpha row of c4 is all-ones
 
         u = gamma4 * w
         u_incl = _lane_cumsum(u, k)
@@ -289,10 +307,9 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
         d_op = jnp.sum(dl_da * g * unclamped, axis=0, keepdims=True)  # (1, K)
 
         # d color: dL/dc[j,ch] = sum_p g_ch[p] * w[p,j]
-        d_col = jax.lax.dot_general(
+        d_col = _dot_general_tiered(
             gpix_ref[0, :, 0:3], w, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)  # (3, K)
+            settings)  # (3, K)
 
         ca = scr[slot, ROW_CA:ROW_CA + 1, :]
         cb = scr[slot, ROW_CB:ROW_CB + 1, :]
