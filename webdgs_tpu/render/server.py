@@ -40,14 +40,15 @@ body { margin:0; background:#111; color:#ccc; font-family:monospace; }
 canvas { display:block; margin:0 auto; }
 </style></head><body>
 <div id="hud">webdgs_tpu &mdash; WASD/Space/Ctrl move &middot; drag look
-&middot; Q/E roll &middot; wheel dolly &middot; P point mode
+&middot; Q/E roll &middot; wheel dolly &middot; P point mode &middot; L loss view
 <span id="stats"></span></div>
 <canvas id="c"></canvas>
 <script>
 const c = document.getElementById('c'), ctx = c.getContext('2d');
 let keys = {}, drag = null, wheel = 0;
 onkeydown = e => { keys[e.code] = true; if(e.code=='KeyP') post({toggle_mode:1});
-                   if(e.code=='KeyT') post({toggle_train:1}); };
+                   if(e.code=='KeyT') post({toggle_train:1});
+                   if(e.code=='KeyL') showLoss = !showLoss; };
 onkeyup = e => keys[e.code] = false;
 c.onpointerdown = e => { drag = [e.pageX, e.pageY]; c.setPointerCapture(e.pointerId); };
 c.onpointerup = () => drag = null;
@@ -62,9 +63,10 @@ setInterval(() => {
              roll:[!!keys.KeyQ,!!keys.KeyE], dt:0.05};
   if (m.move.some(x=>x) || m.roll.some(x=>x)) post(m);
 }, 50);
+let showLoss = false;
 async function loop() {
   while (true) {
-    const r = await fetch('/frame.jpg?' + Date.now());
+    const r = await fetch((showLoss ? '/loss.jpg?' : '/frame.jpg?') + Date.now());
     const b = await r.blob();
     const img = await createImageBitmap(b);
     c.width = img.width; c.height = img.height;
@@ -195,6 +197,24 @@ class ViewerServer:
         Image.fromarray(arr).save(buf, format="JPEG", quality=self.quality)
         return buf.getvalue()
 
+    def loss_jpeg(self) -> bytes:
+        """Per-pixel |loss gradient| of a random dataset view — the
+        reference's show-loss debug toggle (main.ts:362-367,
+        trainer.ts:695-768).  Requires an attached trainer; falls back to
+        the normal frame in view-only mode."""
+        if self.trainer is None:
+            return self.frame_jpeg()
+        from PIL import Image
+        import random as _random
+        flat_count = sum(g["count"] for g in self.trainer.groups.values())
+        idx = _random.randrange(flat_count)
+        img = np.asarray(self.trainer.visualize_loss(idx))
+        # abs-value vis like the reference's fs_abs blit (blit.wgsl:27-37)
+        arr = (np.clip(img, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=self.quality)
+        return buf.getvalue()
+
     def serve(self, port: int = 8000, host: str = "127.0.0.1") -> None:
         server = make_http_server(self, host, port)
         mode = " (live training)" if self.trainer is not None else ""
@@ -220,6 +240,8 @@ def make_http_server(vs: ViewerServer, host: str, port: int):
         def do_GET(self):
             if self.path.startswith("/frame.jpg"):
                 self._send(200, vs.frame_jpeg(), "image/jpeg")
+            elif self.path.startswith("/loss.jpg"):
+                self._send(200, vs.loss_jpeg(), "image/jpeg")
             elif self.path.startswith("/stats"):
                 self._send(200, json.dumps(vs.stats()).encode(),
                            "application/json")
