@@ -39,6 +39,9 @@ def _add_train_args(t, required: bool):
                    help="JSON file of deep-partial TrainerConfig overrides")
     t.add_argument("--resume", default=None,
                    help="checkpoint .npz to resume from")
+    t.add_argument("--holdout-every", type=int, default=0,
+                   help="hold out every k-th view for evaluation (3DGS "
+                   "convention: 8); 0 trains on everything")
     # loss (trainer.ts:100-104)
     t.add_argument("--lambda-l1", type=float, default=0.8)
     t.add_argument("--lambda-l2", type=float, default=0.0)
@@ -119,7 +122,16 @@ def _build_trainer(args):
         cameras = sorted(cameras, key=lambda c: numeric_key(c.img_name))
     n = min(len(cameras), len(images))
     cameras, images = cameras[:n], images[:n]
-    print(f"dataset: {n} views; {int(scene.num_alive())} initial points")
+    holdout = ([], [])
+    k = getattr(args, "holdout_every", 0) or 0
+    if k > 1:
+        # standard 3DGS eval convention: every k-th view is held out
+        holdout = ([c for i, c in enumerate(cameras) if i % k == 0],
+                   [m for i, m in enumerate(images) if i % k == 0])
+        cameras = [c for i, c in enumerate(cameras) if i % k != 0]
+        images = [m for i, m in enumerate(images) if i % k != 0]
+    print(f"dataset: {len(cameras)} train / {len(holdout[0])} holdout "
+          f"views; {int(scene.num_alive())} initial points")
 
     cfg = TrainerConfig(
         loss=LossConfig(lambda_l1=args.lambda_l1, lambda_l2=args.lambda_l2,
@@ -158,17 +170,26 @@ def _build_trainer(args):
         trainer.resume_from(ck_scene, ck_opt, meta.get("iteration") or 0)
         print(f"resumed from {args.resume} at iteration "
               f"{trainer.iteration}")
-    return trainer
+    return trainer, holdout
 
 
 def cmd_train(args):
+    import json
     from webdgs_tpu.io.checkpoint import save_checkpoint
     from webdgs_tpu.io.ply import save_ply
 
-    trainer = _build_trainer(args)
+    trainer, holdout = _build_trainer(args)
     trainer.train(log_every=args.log_every,
                   checkpoint_every=args.checkpoint_every,
                   checkpoint_path=args.out)
+
+    report = {"iterations": trainer.iteration,
+              "points": trainer.num_points,
+              "iters_per_sec": round(trainer.iters_per_sec, 2),
+              "train": trainer.evaluate()}
+    if holdout[0]:
+        report["holdout"] = trainer.evaluate(views=holdout)
+    print("eval:", json.dumps(report))
 
     if args.out:
         save_checkpoint(args.out, trainer.scene, trainer.opt_state,
@@ -218,7 +239,7 @@ def cmd_serve(args):
         if not (args.points and args.cameras and args.images):
             raise SystemExit("serve --train requires --points, --cameras "
                              "and --images")
-        trainer = _build_trainer(args)
+        trainer, _ = _build_trainer(args)
         scene = trainer.scene
     elif args.scene:
         scene = _load_scene_any(args.scene)

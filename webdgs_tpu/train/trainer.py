@@ -44,6 +44,21 @@ def _round_capacity(n: int, granule: int = 4096) -> int:
     return max(-(-n // granule) * granule, granule)
 
 
+def _group_views(cameras: list[CameraData], images: list[dict]) -> dict:
+    """Group (camera, image) pairs by resolution; jit caches per (W, H)."""
+    groups: dict[tuple[int, int], dict] = {}
+    for cam_data, img in zip(cameras, images):
+        res = (img["width"], img["height"])
+        g = groups.setdefault(res, {"cams": [], "imgs": []})
+        g["cams"].append(make_camera(cam_data, *res))
+        g["imgs"].append(img["image"])
+    for res, g in groups.items():
+        g["cams"] = jax.tree.map(lambda *xs: jnp.stack(xs), *g["cams"])
+        g["imgs"] = jnp.asarray(np.stack(g["imgs"], axis=0))
+        g["count"] = g["imgs"].shape[0]
+    return groups
+
+
 class Trainer:
     def __init__(self, scene: GaussianScene, cameras: list[CameraData],
                  images: list[dict], config: TrainerConfig = TrainerConfig(),
@@ -71,17 +86,7 @@ class Trainer:
         self.rng = random.Random(config.seed)
         self.key = jax.random.PRNGKey(config.seed)
 
-        # group views by resolution; jit caches per (W, H)
-        self.groups: dict[tuple[int, int], dict] = {}
-        for cam_data, img in zip(cameras, images):
-            res = (img["width"], img["height"])
-            g = self.groups.setdefault(res, {"cams": [], "imgs": []})
-            g["cams"].append(make_camera(cam_data, *res))
-            g["imgs"].append(img["image"])
-        for res, g in self.groups.items():
-            g["cams"] = jax.tree.map(lambda *xs: jnp.stack(xs), *g["cams"])
-            g["imgs"] = jnp.asarray(np.stack(g["imgs"], axis=0))
-            g["count"] = g["imgs"].shape[0]
+        self.groups = _group_views(cameras, images)
 
         self.num_points = int(scene.num_alive())
         cap = initial_capacity or _round_capacity(scene.capacity)
@@ -316,13 +321,18 @@ class Trainer:
             return jax.lax.map(one, (cams, imgs))  # (V, 3)
         return run
 
-    def evaluate(self, max_views: int | None = None) -> dict:
-        """Mean PSNR / L1 / SSIM over the dataset views — quality reporting
-        the reference never had (SURVEY.md section 5: no PSNR/SSIM
-        anywhere)."""
+    def evaluate(self, max_views: int | None = None,
+                 views: tuple[list, list] | None = None) -> dict:
+        """Mean PSNR / L1 / SSIM over dataset views — quality reporting the
+        reference never had (SURVEY.md section 5: no PSNR/SSIM anywhere).
+
+        ``views``: optional (cameras, images) lists to evaluate instead of
+        the training set (e.g. a held-out test split)."""
+        groups = (self.groups if views is None
+                  else _group_views(views[0], views[1]))
         per_view = []
         remaining = max_views
-        for (w, h), g in self.groups.items():
+        for (w, h), g in groups.items():
             if remaining is not None and remaining <= 0:
                 break
             take = g["count"] if remaining is None else min(g["count"],
