@@ -1,0 +1,53 @@
+#!/bin/bash
+# Round-2 on-chip sequence: run when the TPU (axon) is reachable.
+# Usage: bash scripts/onchip_r2.sh [stage]
+#   stage: tests | profile | bench | train30k | all (default)
+set -u
+cd "$(dirname "$0")/.."
+STAGE="${1:-all}"
+
+probe() {
+    timeout 120 python -c "import jax; print(jax.devices())" >/dev/null 2>&1
+}
+
+if ! probe; then
+    echo "TPU unreachable (jax.devices() hung)"; exit 2
+fi
+
+run_tests() {
+    echo "== on-chip kernel tests =="
+    WEBDGS_TEST_TPU=1 timeout 1800 python -m pytest \
+        tests/test_render_forward.py tests/test_gradients.py -x -q
+}
+
+run_profile() {
+    echo "== stage profile =="
+    timeout 1200 python scripts/profile_breakdown.py
+}
+
+run_bench() {
+    echo "== headline bench =="
+    timeout 1200 python bench.py
+}
+
+run_train30k() {
+    echo "== 30k real-format dataset run =="
+    test -d /tmp/scene1/sparse || python scripts/make_synthetic_colmap.py \
+        /tmp/scene1 --views 48 --width 400 --height 300
+    timeout 7200 python -m webdgs_tpu.cli train \
+        --points /tmp/scene1/sparse/0/points3D.bin \
+        --cameras /tmp/scene1/sparse/0/images.bin /tmp/scene1/sparse/0/cameras.bin \
+        --images /tmp/scene1/images \
+        --iterations 30000 --log-every 1000 --holdout-every 8 \
+        --out /tmp/scene1/ck30k.npz --export-ply /tmp/scene1/trained30k.ply \
+        --width 400 --height 300
+}
+
+case "$STAGE" in
+    tests) run_tests ;;
+    profile) run_profile ;;
+    bench) run_bench ;;
+    train30k) run_train30k ;;
+    all) run_tests && run_profile && run_bench && run_train30k ;;
+    *) echo "unknown stage $STAGE"; exit 1 ;;
+esac
