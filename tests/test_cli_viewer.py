@@ -298,3 +298,53 @@ def test_serve_train_live():
     finally:
         server.shutdown()
         vs.shutdown()
+
+
+def test_nan_rollback():
+    """Failure recovery: a non-finite loss at a snapshot boundary rolls the
+    training state back to the last good snapshot and keeps going (the
+    reference loses everything on any failure, SURVEY.md section 5)."""
+    import jax.numpy as jnp
+    from webdgs_tpu.core.camera import CameraData, default_camera
+    from webdgs_tpu.config import RenderSettings
+    from webdgs_tpu.render.renderer import render
+    from webdgs_tpu.train.config import (DensifyPruneConfig, DensifySchedule,
+                                         TrainerConfig)
+    from webdgs_tpu.train.trainer import Trainer
+
+    w = h = 32
+    settings = RenderSettings(chunk=128)
+    gt = random_scene(10, seed=95)
+    gt = gt.replace(opacity_logits=gt.opacity_logits + 2.0)
+    fy = 0.5 * h / np.tan(np.radians(45.0) / 2)
+    cam = default_camera(w, h, position=(0, 0, -5.0))
+    img = np.asarray(render(gt, cam, w, h, settings).image)
+    cams = [CameraData(id=0, position=np.zeros(3, np.float32),
+                       rotation=np.eye(3, dtype=np.float32),
+                       fx=fy, fy=fy, width=w, height=h)]
+    imgs = [{"name": "v0", "image": img, "width": w, "height": h}]
+    cfg = TrainerConfig(max_iterations=100, densify=DensifyPruneConfig(
+        schedule=DensifySchedule(enabled=False)))
+    tr = Trainer(random_scene(8, seed=96), cams, imgs, cfg, settings)
+    tr.SNAPSHOT_INTERVAL = 2
+
+    poisoned = {"done": False}
+    orig_step = tr.step
+
+    def step_with_poison():
+        m = orig_step()
+        if tr.iteration == 4 and not poisoned["done"]:
+            poisoned["done"] = True
+            tr.scene = tr.scene.replace(
+                means=tr.scene.means.at[0, 0].set(jnp.nan))
+            m = dict(m, loss=jnp.float32(np.nan))
+        return m
+
+    tr.step = step_with_poison
+    logs = []
+    tr.train(num_iterations=10, log_every=0, log_fn=logs.append)
+    # the poison at iter 4 (a snapshot boundary) triggered a rollback...
+    assert poisoned["done"]
+    # ...and training continued to a finite state past the rollback point
+    assert np.isfinite(float(tr.last_metrics["loss"]))
+    assert np.isfinite(np.asarray(tr.scene.means)).all()

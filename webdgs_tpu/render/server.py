@@ -65,12 +65,14 @@ setInterval(() => {
 }, 50);
 let showLoss = false;
 async function loop() {
+  const s = await (await fetch('/stats')).json();
+  c.width = s.width; c.height = s.height;
   while (true) {
     const r = await fetch((showLoss ? '/loss.jpg?' : '/frame.jpg?') + Date.now());
     const b = await r.blob();
     const img = await createImageBitmap(b);
-    c.width = img.width; c.height = img.height;
-    ctx.drawImage(img, 0, 0);
+    // motion frames arrive at reduced resolution; stretch to the canvas
+    ctx.drawImage(img, 0, 0, c.width, c.height);
   }
 }
 loop();
@@ -92,12 +94,22 @@ setInterval(async () => {
 
 
 class ViewerServer:
+    # render at half resolution while the camera is moving (input within
+    # this window); the page stretches to the canvas, so motion stays
+    # fluid and stills are sharp
+    MOTION_WINDOW_S = 0.4
+    MOTION_DOWNSCALE = 2
+
     def __init__(self, viewer, quality: int = 85, trainer=None,
-                 start_training: bool = True):
+                 start_training: bool = True,
+                 motion_downscale: int | None = None):
         self.viewer = viewer
         self.quality = quality
         self.lock = threading.Lock()
         self.fps = 0.0  # EMA like the reference HUD (main.ts:550-561)
+        self._last_input = 0.0
+        if motion_downscale is not None:
+            self.MOTION_DOWNSCALE = motion_downscale
         self.trainer = trainer
         self.training = bool(trainer) and start_training
         self._shutdown = threading.Event()
@@ -136,6 +148,8 @@ class ViewerServer:
 
     def handle_control(self, msg: dict) -> None:
         ctl = self.viewer.control
+        if any(k in msg for k in ("move", "roll", "drag", "wheel")):
+            self._last_input = time.monotonic()
         with self.lock:
             if "move" in msg:
                 f, b, l, r, u, d = msg["move"]
@@ -186,9 +200,11 @@ class ViewerServer:
 
     def frame_jpeg(self) -> bytes:
         from PIL import Image
+        moving = (time.monotonic() - self._last_input) < self.MOTION_WINDOW_S
+        down = self.MOTION_DOWNSCALE if moving else 1
         t0 = time.perf_counter()
         with self.lock:
-            img = self.viewer.render()
+            img = self.viewer.render(downscale=down)
         dt = time.perf_counter() - t0
         inst = 1.0 / dt if dt > 0 else 0.0
         self.fps = inst if self.fps == 0 else 0.9 * self.fps + 0.1 * inst

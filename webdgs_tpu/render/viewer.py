@@ -73,27 +73,37 @@ class Viewer:
     def set_point_cloud(self, scene: GaussianScene) -> None:
         self.scene = scene
 
-    def camera(self) -> Camera:
-        fy = 0.5 * self.height / math.tan(self.fov_y * 0.5)
+    def camera(self, width: int | None = None,
+               height: int | None = None) -> Camera:
+        w = width or self.width
+        h = height or self.height
+        # fovY is preserved at any viewport; focal re-derives from height
+        # exactly like the reference's resize handling (camera.ts:138-146)
+        fy = 0.5 * h / math.tan(self.fov_y * 0.5)
         data = CameraData(position=self.control.position,
                           rotation=self.control.rotation,
-                          fy=fy, height=self.height)
-        return make_camera(data, self.width, self.height)
+                          fy=fy, height=h)
+        return make_camera(data, w, h)
 
-    def render(self) -> np.ndarray:
+    def render(self, downscale: int = 1) -> np.ndarray:
+        """Render a frame; ``downscale`` > 1 renders at a reduced viewport
+        (same fov), for cheap frames during camera motion."""
+        w = max(1, self.width // downscale)
+        h = max(1, self.height // downscale)
+        cam = self.camera(w, h)
         if self.render_mode == "pointcloud":
-            img = render_points(self.scene, self.camera(), self.width,
-                                self.height, self.settings,
+            img = render_points(self.scene, cam, w, h, self.settings,
                                 self.point_size_px)
             return np.asarray(img)
-        res = render(self.scene, self.camera(), self.width, self.height,
-                     self.settings, entry_capacity=self._entry_cap)
-        observed = int(res.binning.total_entries)
-        chunk = self.settings.chunk
-        want = max(-(-int(observed * 1.5) // chunk) * chunk, chunk * 8)
-        if self._entry_cap is None or want > self._entry_cap or \
-                want < self._entry_cap // 3:
-            self._entry_cap = want
+        res = render(self.scene, cam, w, h, self.settings,
+                     entry_capacity=self._entry_cap)
+        if downscale == 1:
+            observed = int(res.binning.total_entries)
+            chunk = self.settings.chunk
+            want = max(-(-int(observed * 1.5) // chunk) * chunk, chunk * 8)
+            if self._entry_cap is None or want > self._entry_cap or \
+                    want < self._entry_cap // 3:
+                self._entry_cap = want
         return np.asarray(res.image)
 
 

@@ -388,6 +388,22 @@ class Trainer:
         self.iteration = int(iteration)
         self.num_points = int(self.scene.num_alive())
 
+    # failure detection / recovery (the reference has none — a page reload
+    # loses everything, SURVEY.md section 5): snapshot the training state
+    # in memory every interval; a non-finite loss rolls back to the last
+    # good state and continues with fresh view draws
+    SNAPSHOT_INTERVAL = 250
+    MAX_ROLLBACKS = 5
+
+    def _snapshot(self) -> None:
+        self._last_good = (self.scene, self.opt_state, self.iteration,
+                           self.num_points)
+
+    def _rollback(self) -> None:
+        scene, opt, it, npts = self._last_good
+        self.scene, self.opt_state = scene, opt
+        self.iteration, self.num_points = it, npts
+
     def train(self, num_iterations: int | None = None,
               log_every: int = 100, log_fn=print,
               checkpoint_every: int = 0,
@@ -395,10 +411,27 @@ class Trainer:
               profile_dir: str | None = None) -> dict:
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
+        rollbacks = 0
+        self._snapshot()
         try:
             n = num_iterations or self.config.max_iterations
             for _ in range(n):
                 metrics = self.step()
+                if self.iteration % self.SNAPSHOT_INTERVAL == 0:
+                    loss = float(metrics["loss"])
+                    if not np.isfinite(loss):
+                        rollbacks += 1
+                        if rollbacks > self.MAX_ROLLBACKS:
+                            raise FloatingPointError(
+                                f"loss non-finite after {rollbacks} "
+                                "rollbacks; training diverged")
+                        if log_fn:
+                            log_fn(f"iter {self.iteration}: loss={loss} — "
+                                   f"rolling back to iteration "
+                                   f"{self._last_good[2]}")
+                        self._rollback()
+                        continue
+                    self._snapshot()
                 if log_every and self.iteration % log_every == 0 and log_fn:
                     log_fn(f"iter {self.iteration}: "
                            f"loss={float(metrics['loss']):.4f} "
