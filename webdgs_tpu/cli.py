@@ -78,12 +78,16 @@ def _add_common_render_args(p):
     p.add_argument("--max-splat-radius-px", type=float, default=128.0)
     p.add_argument("--background", type=float, nargs=3,
                    default=(0.0, 0.0, 0.0))
+    p.add_argument("--gaussian-scaling", type=float, default=1.0,
+                   help="splat-size multiplier (the reference's Gaussian "
+                   "scale slider)")
 
 
 def _settings(args):
     from webdgs_tpu.config import RenderSettings
     return RenderSettings(max_splat_radius_px=args.max_splat_radius_px,
-                          background=tuple(args.background), chunk=128)
+                          background=tuple(args.background), chunk=128,
+                          gaussian_scaling=args.gaussian_scaling)
 
 
 def cmd_view(args):

@@ -28,6 +28,10 @@ class RenderSettings:
 
     tile_w: int = 16
     tile_h: int = 16
+    # Splat-size multiplier — the reference's "Gaussian scale" slider
+    # (index.html:246, main.ts:369-372).  Its tiled path declares but never
+    # reads the uniform; here it multiplies the decoded stddev.
+    gaussian_scaling: float = 1.0
     # Screen-space radius cap in pixels; <=0 disables (reference default 128).
     max_splat_radius_px: float = 128.0
     # Reference enforces <=2048 tiles touched per Gaussian

@@ -184,9 +184,14 @@ def _project_gaussians_impl(params, alive, camera, img_w, img_h, sh_deg,
     )
 
     # --- 3D covariance rows (common.wgsl:44-68) ---
+    # gaussian_scaling: the reference's "Gaussian scale" slider writes this
+    # settings field (tiled-forward-pass.ts:392-395) but no tiled-path
+    # shader ever reads it; here the knob actually works, as a scale
+    # multiplier on the decoded stddev
     lsT = log_scales.T
-    s2 = (jnp.exp(2.0 * lsT[0]), jnp.exp(2.0 * lsT[1]),
-          jnp.exp(2.0 * lsT[2]))
+    gs2 = settings.gaussian_scaling * settings.gaussian_scaling
+    s2 = (gs2 * jnp.exp(2.0 * lsT[0]), gs2 * jnp.exp(2.0 * lsT[1]),
+          gs2 * jnp.exp(2.0 * lsT[2]))
     qT = quats.T
     c00, c01, c02, c11, c12, c22 = _cov3d_rows(
         (qT[0], qT[1], qT[2], qT[3]), s2)

@@ -41,6 +41,7 @@ canvas { display:block; margin:0 auto; }
 </style></head><body>
 <div id="hud">webdgs_tpu &mdash; WASD/Space/Ctrl move &middot; drag look
 &middot; Q/E roll &middot; wheel dolly &middot; P point mode &middot; L loss view
+&middot; [/] splat scale
 <span id="stats"></span></div>
 <canvas id="c"></canvas>
 <script>
@@ -48,7 +49,9 @@ const c = document.getElementById('c'), ctx = c.getContext('2d');
 let keys = {}, drag = null, wheel = 0;
 onkeydown = e => { keys[e.code] = true; if(e.code=='KeyP') post({toggle_mode:1});
                    if(e.code=='KeyT') post({toggle_train:1});
-                   if(e.code=='KeyL') showLoss = !showLoss; };
+                   if(e.code=='KeyL') showLoss = !showLoss;
+                   if(e.code=='BracketLeft') post({gaussian_scale_delta:-0.05});
+                   if(e.code=='BracketRight') post({gaussian_scale_delta:0.05}); };
 onkeyup = e => keys[e.code] = false;
 c.onpointerdown = e => { drag = [e.pageX, e.pageY]; c.setPointerCapture(e.pointerId); };
 c.onpointerup = () => drag = null;
@@ -169,6 +172,10 @@ class ViewerServer:
                     else "gaussian")
             if "toggle_train" in msg:
                 self.toggle_training()
+            if "gaussian_scale_delta" in msg:
+                cur = self.viewer.settings.gaussian_scaling
+                self.viewer.set_gaussian_scaling(
+                    cur + float(msg["gaussian_scale_delta"]))
 
     def stats(self) -> dict:
         """HUD stats, the analogue of the reference's live widget

@@ -70,6 +70,15 @@ class Viewer:
     def set_point_size(self, value: float) -> None:
         self.point_size_px = float(value)
 
+    def set_gaussian_scaling(self, value: float) -> None:
+        """The reference's Gaussian-scale slider (main.ts:369-372).
+        Quantized to 0.05 steps: each distinct value is a new static
+        setting (one recompile)."""
+        import dataclasses
+        v = max(0.05, round(float(value) / 0.05) * 0.05)
+        self.settings = dataclasses.replace(self.settings,
+                                            gaussian_scaling=v)
+
     def set_point_cloud(self, scene: GaussianScene) -> None:
         self.scene = scene
 
