@@ -221,6 +221,8 @@ def cmd_render(args):
     viewer = Viewer(scene, args.width, args.height, _settings(args))
     if args.position:
         viewer.control.position = np.asarray(args.position, np.float32)
+    else:
+        viewer.frame_scene()
     img = viewer.render()
     save_png(args.out, img)
     print(f"rendered {args.width}x{args.height} -> {args.out}")
@@ -253,6 +255,8 @@ def cmd_serve(args):
     viewer = Viewer(scene, args.width, args.height, _settings(args))
     if args.position:
         viewer.control.position = np.asarray(args.position, np.float32)
+    else:
+        viewer.frame_scene()
     ViewerServer(viewer, trainer=trainer).serve(port=args.port,
                                                 host=args.host)
 

@@ -82,6 +82,20 @@ class Viewer:
     def set_point_cloud(self, scene: GaussianScene) -> None:
         self.scene = scene
 
+    def frame_scene(self) -> None:
+        """Place the camera to frame the alive-point centroid (the
+        reference resets to a fixed (0,0,5) which faces away from
+        origin-centered scenes; this default actually shows the data)."""
+        means = np.asarray(self.scene.means)
+        alive = np.asarray(self.scene.alive)
+        pts = means[alive] if alive.any() else means
+        center = pts.mean(axis=0)
+        radius = float(np.percentile(
+            np.linalg.norm(pts - center, axis=1), 90) * 2.5 + 1e-3)
+        pos = center - np.array([0.0, 0.0, radius], np.float32)
+        self.control.position = pos.astype(np.float32)
+        self.control.rotation = look_at_rotation(pos, center)
+
     def camera(self, width: int | None = None,
                height: int | None = None) -> Camera:
         w = width or self.width
