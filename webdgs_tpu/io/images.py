@@ -36,9 +36,12 @@ def load_images(paths_or_dir) -> list[dict]:
     else:
         paths = [str(p) for p in paths_or_dir]
     paths.sort(key=numeric_key)
-    out = []
-    for p in paths:
-        img = load_image(p)
-        out.append({"name": os.path.basename(p), "image": img,
-                    "width": img.shape[1], "height": img.shape[0]})
-    return out
+    # PIL releases the GIL during decode, so a thread pool gives real
+    # parallel JPEG/PNG decoding for big datasets; order is preserved
+    from concurrent.futures import ThreadPoolExecutor
+    workers = min(8, max(1, len(paths)))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        images = list(pool.map(load_image, paths))
+    return [{"name": os.path.basename(p), "image": img,
+             "width": img.shape[1], "height": img.shape[0]}
+            for p, img in zip(paths, images)]
