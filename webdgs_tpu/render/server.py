@@ -67,9 +67,12 @@ setInterval(() => {
   if (m.move.some(x=>x) || m.roll.some(x=>x)) post(m);
 }, 50);
 let showLoss = false;
+function sendResize() { post({resize:[innerWidth, innerHeight - 24]}); }
+onresize = sendResize;
 async function loop() {
-  const s = await (await fetch('/stats')).json();
-  c.width = s.width; c.height = s.height;
+  sendResize();
+  const s0 = await (await fetch('/stats')).json();
+  c.width = s0.width; c.height = s0.height;
   while (true) {
     const r = await fetch((showLoss ? '/loss.jpg?' : '/frame.jpg?') + Date.now());
     const b = await r.blob();
@@ -81,6 +84,9 @@ async function loop() {
 loop();
 setInterval(async () => {
   const s = await (await fetch('/stats')).json();
+  if (c.width != s.width || c.height != s.height) {
+    c.width = s.width; c.height = s.height;
+  }
   let t = ` | ${s.points} pts | ${s.fps.toFixed(1)} fps | ${s.render_mode}`;
   if (s.trainer) {
     const tr = s.trainer;
@@ -176,6 +182,15 @@ class ViewerServer:
                 cur = self.viewer.settings.gaussian_scaling
                 self.viewer.set_gaussian_scaling(
                     cur + float(msg["gaussian_scale_delta"]))
+            if "resize" in msg:
+                # the reference viewer tracks its canvas via a
+                # ResizeObserver (viewer.ts:33-43); quantize to multiples
+                # of 64 to bound the number of compiled viewports
+                w, h = msg["resize"]
+                w = int(np.clip((int(w) // 64) * 64, 64, 3840))
+                h = int(np.clip((int(h) // 64) * 64, 64, 2160))
+                if (w, h) != (self.viewer.width, self.viewer.height):
+                    self.viewer.width, self.viewer.height = w, h
 
     def stats(self) -> dict:
         """HUD stats, the analogue of the reference's live widget
