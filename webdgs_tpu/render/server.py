@@ -51,7 +51,9 @@ onkeydown = e => { keys[e.code] = true; if(e.code=='KeyP') post({toggle_mode:1})
                    if(e.code=='KeyT') post({toggle_train:1});
                    if(e.code=='KeyL') showLoss = !showLoss;
                    if(e.code=='BracketLeft') post({gaussian_scale_delta:-0.05});
-                   if(e.code=='BracketRight') post({gaussian_scale_delta:0.05}); };
+                   if(e.code=='BracketRight') post({gaussian_scale_delta:0.05});
+                   if(e.code=='Comma') post({point_size_delta:-1});
+                   if(e.code=='Period') post({point_size_delta:1}); };
 onkeyup = e => keys[e.code] = false;
 c.onpointerdown = e => { drag = [e.pageX, e.pageY]; c.setPointerCapture(e.pointerId); };
 c.onpointerup = () => drag = null;
@@ -182,6 +184,10 @@ class ViewerServer:
                 cur = self.viewer.settings.gaussian_scaling
                 self.viewer.set_gaussian_scaling(
                     cur + float(msg["gaussian_scale_delta"]))
+            if "point_size_delta" in msg:
+                self.viewer.set_point_size(max(
+                    1.0, self.viewer.point_size_px
+                    + float(msg["point_size_delta"])))
             if "resize" in msg:
                 # the reference viewer tracks its canvas via a
                 # ResizeObserver (viewer.ts:33-43); quantize to multiples
