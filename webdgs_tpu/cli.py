@@ -187,14 +187,8 @@ def cmd_train(args):
                   checkpoint_every=args.checkpoint_every,
                   checkpoint_path=args.out)
 
-    report = {"iterations": trainer.iteration,
-              "points": trainer.num_points,
-              "iters_per_sec": round(trainer.iters_per_sec, 2),
-              "train": trainer.evaluate()}
-    if holdout[0]:
-        report["holdout"] = trainer.evaluate(views=holdout)
-    print("eval:", json.dumps(report))
-
+    # persist the model BEFORE the (potentially long) evaluation so an
+    # eval failure or interrupt cannot lose the training result
     if args.out:
         save_checkpoint(args.out, trainer.scene, trainer.opt_state,
                         iteration=trainer.iteration)
@@ -202,6 +196,14 @@ def cmd_train(args):
     if args.export_ply:
         n_out = save_ply(trainer.scene, args.export_ply)
         print(f"exported {n_out} splats -> {args.export_ply}")
+
+    report = {"iterations": trainer.iteration,
+              "points": trainer.num_points,
+              "iters_per_sec": round(trainer.iters_per_sec, 2),
+              "train": trainer.evaluate()}
+    if holdout[0]:
+        report["holdout"] = trainer.evaluate(views=holdout)
+    print("eval:", json.dumps(report))
 
 
 def _load_scene_any(path):

@@ -9,6 +9,7 @@ fused VPU/MXU-friendly op, with unused degrees masked by a static weight.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 SH_C0 = 0.28209479177387814
@@ -60,5 +61,9 @@ def eval_sh_color(sh: jnp.ndarray, dirs: jnp.ndarray, sh_deg: int) -> jnp.ndarra
         raise ValueError(f"unsupported sh_deg {sh_deg}")
     k = NUM_COEFFS[sh_deg]
     basis = sh_basis(dirs)[..., :k]  # (N, k)
-    color = jnp.einsum("nk,nkc->nc", basis, sh[:, :k, :])
+    # HIGHEST: this k<=16 contraction must stay f32-exact on TPU — it was
+    # covered by a default_matmul_precision('highest') wrapper before the
+    # row-form projection rewrite; the op is tiny so exactness is free
+    color = jnp.einsum("nk,nkc->nc", basis, sh[:, :k, :],
+                       precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(color + 0.5, 0.0)

@@ -233,7 +233,9 @@ def render_gaussian_sharded(scene: GaussianScene, camera: Camera,
     if send_capacity is None:
         send_capacity = min(-(-2 * (e_loc // max(d, 1)) // chunk) * chunk,
                             e_loc)
-    s_cap = max(send_capacity, chunk)
+    # chunk-round any caller value: the aligned band capacity must be a
+    # chunk multiple for the counting-sort realignment
+    s_cap = max(-(-send_capacity // chunk) * chunk, chunk)
     recv = d * s_cap
     a_cap = recv + band_tiles * chunk  # aligned band capacity
 

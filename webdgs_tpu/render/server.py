@@ -96,7 +96,8 @@ setInterval(async () => {
        + ` | ${tr.iters_per_sec.toFixed(1)} it/s`
        + (tr.psnr != null ? ` | psnr ${tr.psnr.toFixed(2)}` : '')
        + (tr.next_densify != null ? ` | densify@${tr.next_densify}` : '')
-       + (tr.training ? ' | TRAINING (T pauses)' : ' | paused (T resumes)');
+       + (tr.error ? ` | ERROR: ${tr.error}`
+          : (tr.training ? ' | TRAINING (T pauses)' : ' | paused (T resumes)'));
   }
   document.getElementById('stats').textContent = t;
 }, 1000);
@@ -123,6 +124,8 @@ class ViewerServer:
             self.MOTION_DOWNSCALE = motion_downscale
         self.trainer = trainer
         self.training = bool(trainer) and start_training
+        self.train_error: str | None = None
+        self._loss_view: tuple[int, float] = (0, 0.0)  # (index, chosen_at)
         self._shutdown = threading.Event()
         self._train_thread: threading.Thread | None = None
         if trainer is not None:
@@ -139,7 +142,14 @@ class ViewerServer:
             if not self.training:
                 self._shutdown.wait(0.05)
                 continue
-            tr.step()
+            try:
+                tr.step()
+            except Exception as e:  # surface the failure in the HUD
+                import traceback
+                traceback.print_exc()
+                self.train_error = f"{type(e).__name__}: {e}"
+                self.training = False
+                continue
             # the scene pytree is immutable; publishing the new one to the
             # frame renderer is a single atomic attribute store (the
             # analogue of the reference's pointcloud swap, main.ts:508)
@@ -223,6 +233,7 @@ class ViewerServer:
                          else float(m["loss"])),
                 "next_densify": tr.next_densify_iteration(),
                 "training": self.training,
+                "error": self.train_error,
             }
         return out
 
@@ -241,17 +252,26 @@ class ViewerServer:
         Image.fromarray(arr).save(buf, format="JPEG", quality=self.quality)
         return buf.getvalue()
 
+    LOSS_VIEW_HOLD_S = 2.0
+
     def loss_jpeg(self) -> bytes:
-        """Per-pixel |loss gradient| of a random dataset view — the
-        reference's show-loss debug toggle (main.ts:362-367,
-        trainer.ts:695-768).  Requires an attached trainer; falls back to
-        the normal frame in view-only mode."""
+        """Per-pixel |loss gradient| of a dataset view — the reference's
+        show-loss debug toggle (main.ts:362-367, trainer.ts:695-768).
+        Requires an attached trainer; falls back to the normal frame in
+        view-only mode.  The sampled view is held for a couple of seconds
+        (the page polls this endpoint at frame rate — a fresh random view
+        per fetch would flicker and waste device time)."""
         if self.trainer is None:
             return self.frame_jpeg()
         from PIL import Image
         import random as _random
-        flat_count = sum(g["count"] for g in self.trainer.groups.values())
-        idx = _random.randrange(flat_count)
+        idx, chosen = self._loss_view
+        now = time.monotonic()
+        if now - chosen > self.LOSS_VIEW_HOLD_S:
+            flat_count = sum(g["count"]
+                             for g in self.trainer.groups.values())
+            idx = _random.randrange(flat_count)
+            self._loss_view = (idx, now)
         img = np.asarray(self.trainer.visualize_loss(idx))
         # abs-value vis like the reference's fs_abs blit (blit.wgsl:27-37)
         arr = (np.clip(img, 0, 1) * 255.0 + 0.5).astype(np.uint8)

@@ -94,7 +94,12 @@ class Viewer:
             np.linalg.norm(pts - center, axis=1), 90) * 2.5 + 1e-3)
         pos = center - np.array([0.0, 0.0, radius], np.float32)
         self.control.position = pos.astype(np.float32)
-        self.control.rotation = look_at_rotation(pos, center)
+        # look_at_rotation is y-up; the framework's projection maps +y_view
+        # to increasing image row (COLMAP-style), so roll 180 degrees
+        # (negate the x and y camera axes — still a proper rotation) to get
+        # upright frames
+        rot = look_at_rotation(pos, center)
+        self.control.rotation = np.stack([-rot[0], -rot[1], rot[2]])
 
     def camera(self, width: int | None = None,
                height: int | None = None) -> Camera:

@@ -357,16 +357,27 @@ class Trainer:
         cam = jax.tree.map(lambda x: x[i], g["cams"])
         return render(self.scene, cam, w, h, self.settings).image
 
+    @functools.cached_property
+    def _loss_map_fn(self):
+        @functools.partial(jax.jit,
+                           static_argnames=("img_w", "img_h", "entry_cap"))
+        def run(scene, cam, target, img_w, img_h, entry_cap):
+            img = render(scene, cam, img_w, img_h, self.settings,
+                         entry_capacity=entry_cap).image
+            return jnp.abs(pixel_loss_gradient(img, target,
+                                               self.config.loss))
+        return run
+
     def visualize_loss(self, index: int):
         """Per-pixel loss-gradient map for a dataset view, the analogue of
-        the reference's show-loss debug view (trainer.ts:695-768)."""
+        the reference's show-loss debug view (trainer.ts:695-768).  Jitted
+        (one compile per resolution group)."""
         flat = [(res, g, i) for res, g in self.groups.items()
                 for i in range(g["count"])]
         (w, h), g, i = flat[index]
         cam = jax.tree.map(lambda x: x[i], g["cams"])
-        img = render(self.scene, cam, w, h, self.settings).image
-        return jnp.abs(pixel_loss_gradient(img, g["imgs"][i],
-                                           self.config.loss))
+        return self._loss_map_fn(self.scene, cam, g["imgs"][i], w, h,
+                                 self._entry_cap())
 
     def resume_from(self, scene, opt_state, iteration: int) -> None:
         """Restore training state from a checkpoint (the reference cannot
@@ -424,13 +435,14 @@ class Trainer:
                         if rollbacks > self.MAX_ROLLBACKS:
                             raise FloatingPointError(
                                 f"loss non-finite after {rollbacks} "
-                                "rollbacks; training diverged")
+                                "consecutive rollbacks; training diverged")
                         if log_fn:
                             log_fn(f"iter {self.iteration}: loss={loss} — "
                                    f"rolling back to iteration "
                                    f"{self._last_good[2]}")
                         self._rollback()
                         continue
+                    rollbacks = 0  # a clean snapshot resets the budget
                     self._snapshot()
                 if log_every and self.iteration % log_every == 0 and log_fn:
                     log_fn(f"iter {self.iteration}: "
