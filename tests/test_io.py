@@ -258,3 +258,48 @@ def test_native_parser_matches_python():
         assert a.id == b.id and a.img_name == b.img_name
         np.testing.assert_allclose(a.rotation, b.rotation, atol=1e-6)
         np.testing.assert_allclose(a.position, b.position, atol=1e-5)
+
+
+def test_synthetic_colmap_roundtrip(tmp_path):
+    """The dataset generator's binary writers and the framework loaders are
+    a writer/reader pair: poses, intrinsics, and points must round-trip
+    byte-level through real images.bin/cameras.bin/points3D.bin files."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    out = tmp_path / "scene"
+    r = subprocess.run(
+        [sys.executable, "scripts/make_synthetic_colmap.py", str(out),
+         "--views", "3", "--width", "48", "--height", "36",
+         "--points", "200"],
+        capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stderr
+
+    from webdgs_tpu.io.colmap import load_cameras
+    from webdgs_tpu.io.ply import load_point_cloud
+
+    cams = load_cameras([str(out / "sparse/0/images.bin"),
+                         str(out / "sparse/0/cameras.bin")])
+    assert len(cams) == 3
+    for c in cams:
+        assert c.width == 48 and c.height == 36
+        assert abs(c.fx - c.fy) < 1e-9
+        # w2c rotation is orthonormal with det +1 after the quat round-trip
+        np.testing.assert_allclose(c.rotation @ c.rotation.T, np.eye(3),
+                                   atol=1e-5)
+        assert np.linalg.det(c.rotation) > 0.99
+        # the generator orbits at radius ~4.5 around (0,-0.3,0)
+        assert 3.5 < np.linalg.norm(c.position - [0, -0.3, 0]) < 5.5
+
+    scene = load_point_cloud(str(out / "sparse/0/points3D.bin"))
+    n = int(scene.num_alive())
+    assert 50 <= n <= 200
+    means = np.asarray(scene.means)[:n]
+    assert np.isfinite(means).all()
+    # surface samples live in the scene bounding volume (sky excluded)
+    assert np.abs(means).max() < 8.0
+
+    imgs = sorted((out / "images").iterdir())
+    assert len(imgs) == 3 and all(p.suffix == ".png" for p in imgs)
