@@ -217,3 +217,54 @@ def test_gaussian_sharded_render_drop_budget(mesh):
     assert img.shape == (h, w, 3)
     assert np.isfinite(np.asarray(img)).all()
     assert int(dropped) > 0
+
+
+@pytest.mark.slow
+def test_gs_train_step_matches_single(mesh):
+    """Fully-sharded training (scene + optimizer sharded over the gaussian
+    axis, entries all_to_all'd forward, cotangents back through the
+    transpose) must produce the same update as the single-device step."""
+    from webdgs_tpu.parallel.sharding import gs_train_step
+    from webdgs_tpu.train.step import train_step
+
+    w, h = 64, 64
+    d = len(mesh.devices.reshape(-1))
+    scene = random_scene(64, seed=27)
+    scene = scene.pad_to(-(-scene.capacity // d) * d)
+    gt = random_scene(30, seed=28)
+    gt = gt.replace(opacity_logits=gt.opacity_logits + 2.0)
+    cam = default_camera(w, h, position=(0.0, 0.0, -5.0))
+    target = render(gt, cam, w, h, SETTINGS).image
+
+    hp = AdamHyperparameters()
+    cfg = LossConfig()
+    opt = init_adam_state(scene.params())
+
+    ref_scene, ref_opt, ref_m = train_step(
+        scene, opt, cam, target, img_w=w, img_h=h, loss_cfg=cfg, hp=hp,
+        settings=SETTINGS)
+    new_scene, new_opt, m = gs_train_step(
+        scene, opt, cam, target, mesh, img_w=w, img_h=h, loss_cfg=cfg,
+        hp=hp, settings=SETTINGS)
+
+    assert int(m["entries_dropped"]) == 0
+    np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]),
+                               rtol=1e-4)
+    assert int(m["visible"]) == int(ref_m["visible"])
+    assert int(m["tile_entries"]) == int(ref_m["tile_entries"])
+    for k in ref_scene.params():
+        np.testing.assert_allclose(
+            np.asarray(new_scene.params()[k]),
+            np.asarray(ref_scene.params()[k]),
+            rtol=2e-4, atol=2e-6, err_msg=k)
+    # optimizer moments are sharded but concatenate to the single-device
+    # state in order.  Tolerance: the two paths accumulate per-Gaussian
+    # gradients with different f32 algorithms (prefix-segment reduction vs
+    # the exchange-transpose scatter-add), so moments — raw gradient scale —
+    # differ by accumulation-order noise up to ~0.5% relative on small
+    # entries; the Adam update itself (params above) normalizes this away
+    # to 2e-4, which is the equivalence that matters.
+    for k in ref_opt.m:
+        np.testing.assert_allclose(np.asarray(new_opt.m[k]),
+                                   np.asarray(ref_opt.m[k]),
+                                   rtol=1e-2, atol=1e-6, err_msg=k)

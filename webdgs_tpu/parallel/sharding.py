@@ -312,3 +312,167 @@ def render_gaussian_sharded(scene: GaussianScene, camera: Camera,
         img = jax.device_get(img)
         return img[:img_h], dropped
     return img, dropped
+
+
+# ---------------------------------------------------------------------------
+# fully-sharded training: gaussian-axis-sharded scene AND optimizer
+# ---------------------------------------------------------------------------
+
+def gs_train_step(scene: GaussianScene, opt_state: AdamState,
+                  camera: Camera, target: jax.Array, mesh: Mesh, *,
+                  img_w: int, img_h: int,
+                  loss_cfg: LossConfig = LossConfig(),
+                  hp: AdamHyperparameters = AdamHyperparameters(),
+                  settings: RenderSettings = DEFAULT_SETTINGS,
+                  send_capacity: int | None = None,
+                  parity_sh: bool = True):
+    """One training step with the scene AND optimizer state sharded over
+    the Gaussian axis (BASELINE config 5: 1M+ splats beyond one chip's
+    params+moments memory).
+
+    Forward: each device projects/expands its N/D Gaussians and one
+    ``all_to_all`` carries packed entry rows to their tile-band owners,
+    which rasterize their rows (as in :func:`render_gaussian_sharded`).
+    The per-pixel loss cotangent is computed on the all-gathered frame
+    (DSSIM windows cross band borders) and applied band-locally; the
+    backward pass then flows through the *transpose* of the exchange —
+    autodiff of ``all_to_all`` routes every entry cotangent back to the
+    device that owns its Gaussian, so parameter gradients, Adam moments,
+    and the update are fully local.  No gradient psum exists anywhere:
+    each Gaussian is owned exactly once (ZeRO-style sharded optimizer for
+    free, vs the reference's single-GPU adam.wgsl).
+
+    Returns (scene, opt_state, metrics) with the same metrics surface as
+    ``train_step`` (loss/psnr/... computed on the full frame, identical on
+    every device; ``visible``/``tile_entries`` are global psums).
+    """
+    axis = mesh.axis_names[0]
+    d = mesh.devices.size
+    chunk = settings.chunk
+    if scene.capacity % d != 0:
+        raise ValueError(
+            f"scene capacity {scene.capacity} not divisible by mesh size "
+            f"{d}; pad_to a multiple first")
+    ntx, nty = binning_ops.tile_grid(img_w, img_h, settings)
+    nty_pad = -(-nty // d) * d
+    binning_ops.check_tile_key_limit(ntx * nty_pad)
+    rows = nty_pad // d
+    band_h = rows * settings.tile_h
+    band_tiles = ntx * rows
+
+    n_loc = scene.capacity // d
+    e_loc = binning_ops.entry_capacity(n_loc, settings)
+    if send_capacity is None:
+        send_capacity = min(-(-2 * (e_loc // max(d, 1)) // chunk) * chunk,
+                            e_loc)
+    s_cap = max(-(-send_capacity // chunk) * chunk, chunk)
+    recv = d * s_cap
+    a_cap = recv + band_tiles * chunk
+
+    from webdgs_tpu.ops.loss import pixel_loss_gradient
+    from webdgs_tpu.ops.projection import project_gaussians as _project
+
+    state_specs = AdamState(m=P(axis), v=P(axis), iteration=P())
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), state_specs, P(), P()),
+        out_specs=(P(axis), state_specs, P()), check_vma=False)
+    def step(scene_l, opt_l, cam, tgt):
+        b = jax.lax.axis_index(axis)
+        params_l = scene_l.params()
+
+        def proj_fn(p):
+            return _project(p, scene_l.alive, cam, img_w, img_h,
+                            scene_l.sh_deg, settings,
+                            detach_color=parity_sh)
+
+        attrs, vjp_proj, aux = jax.vjp(proj_fn, params_l, has_aux=True)
+
+        # ---- non-differentiable index plumbing (from aux, as in the
+        # single-device split: binning is data, not differentiated) ----
+        key, g, _, _, _ = binning_ops.expand_entries(aux, ntx, e_loc)
+        skey, sg = jax.lax.sort((key, g), num_keys=1)
+        band_bound_keys = (jnp.arange(d + 1, dtype=jnp.uint32)
+                           * jnp.uint32(band_tiles)) << 16
+        bounds = jnp.searchsorted(skey, band_bound_keys).astype(jnp.int32)
+        band_off = bounds[:-1]
+        band_cnt = bounds[1:] - bounds[:-1]
+        dropped_local = jnp.sum(jnp.maximum(band_cnt - s_cap, 0))
+
+        slot = jnp.arange(d * s_cap, dtype=jnp.int32)
+        sb = slot // s_cap
+        j = slot % s_cap
+        src = jnp.clip(band_off[sb] + j, 0, e_loc - 1)
+        s_valid = j < band_cnt[sb]
+        sg_src = sg[src]  # gaussian id per send slot
+        send_keys = jnp.where(s_valid, skey[src], jnp.uint32(0xFFFFFFFF))
+        keys_r = jax.lax.all_to_all(
+            send_keys.reshape(d, s_cap), axis, 0, 0).reshape(recv)
+        mkey, perm = jax.lax.sort(
+            (keys_r, jnp.arange(recv, dtype=jnp.int32)), num_keys=1)
+        tile0 = b.astype(jnp.uint32) * jnp.uint32(band_tiles)
+        tbounds = jnp.searchsorted(
+            mkey, (tile0 + jnp.arange(band_tiles + 1, dtype=jnp.uint32))
+            << 16).astype(jnp.int32)
+        tile_counts = tbounds[1:] - tbounds[:-1]
+        tile_offsets, aligned_off, unaligned_off = \
+            binning_ops.aligned_tile_layout(tile_counts, chunk)
+        src2, valid2 = binning_ops.realign_sorted(
+            tile_offsets, aligned_off, unaligned_off, tile_counts, a_cap,
+            chunk, band_tiles, recv)
+        gather_idx = perm[src2]
+        shift = (b * rows * settings.tile_h).astype(jnp.float32)
+
+        # ---- differentiable band render as a function of attrs; the
+        # backward all_to_all (autodiff transpose) returns every entry
+        # cotangent to its gaussian's owner ----
+        def band_img(a):
+            per_g = raster_ops._pack_per_gauss(a)  # (n_loc, 16)
+            send_rows = jnp.where(s_valid[:, None], per_g[sg_src], 0.0)
+            rows_r = jax.lax.all_to_all(
+                send_rows.reshape(d, s_cap, raster_ops.NUM_ROWS), axis,
+                0, 0).reshape(recv, raster_ops.NUM_ROWS)
+            entry_rows = jnp.where(valid2[:, None], rows_r[gather_idx], 0.0)
+            entry_rows = entry_rows.at[:, 1].add(
+                jnp.where(valid2, -shift, 0.0))
+            out = raster_ops.rasterize_tiles(
+                entry_rows.T, tile_offsets, ntx, rows, settings)
+            tiles = raster_ops.tiles_to_image(out, ntx, rows, img_w,
+                                              band_h, settings)
+            return raster_ops.composite_background(tiles, settings)
+
+        band_pred, vjp_raster = jax.vjp(band_img, attrs)
+
+        # full frame for the loss cotangent + metrics (DSSIM windows cross
+        # band borders); identical on every device
+        pred_pad = jax.lax.all_gather(band_pred, axis).reshape(
+            nty_pad * settings.tile_h, img_w, 3)
+        pred = pred_pad[:img_h]
+        pgrad = pixel_loss_gradient(pred, tgt, loss_cfg)
+        pgrad_pad = jnp.zeros((nty_pad * settings.tile_h, img_w, 3),
+                              jnp.float32).at[:img_h].set(pgrad)
+        pgrad_band = jax.lax.dynamic_slice_in_dim(
+            pgrad_pad, b * band_h, band_h, axis=0)
+        (d_attrs,) = vjp_raster(pgrad_band)
+        (d_params,) = vjp_proj(d_attrs)
+
+        if parity_sh:
+            # Q2 routing: raw dL/dcolor into the DC coefficient
+            d_sh = jnp.zeros_like(params_l["sh"]).at[:, 0, :].set(
+                d_attrs.color)
+            d_params = {**d_params, "sh": d_sh}
+        g_ls = d_params["log_scales"]
+        d_params = {**d_params, "log_scales": jnp.where(
+            aux.radius_capped[:, None], jnp.maximum(g_ls, 0.0), g_ls)}
+
+        new_params, new_opt = adam_step(params_l, d_params, opt_l, hp,
+                                        aux.num_tiles)
+        metrics = loss_metrics(pred, tgt, loss_cfg)
+        metrics["visible"] = jax.lax.psum(
+            jnp.sum(aux.visible.astype(jnp.int32)), axis)
+        metrics["tile_entries"] = jax.lax.psum(jnp.sum(aux.num_tiles), axis)
+        metrics["entries_dropped"] = jax.lax.psum(dropped_local, axis)
+        return scene_l.with_params(new_params), new_opt, metrics
+
+    return step(scene, opt_state, camera, target)
