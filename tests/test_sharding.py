@@ -268,3 +268,52 @@ def test_gs_train_step_matches_single(mesh):
         np.testing.assert_allclose(np.asarray(new_opt.m[k]),
                                    np.asarray(ref_opt.m[k]),
                                    rtol=1e-2, atol=1e-6, err_msg=k)
+
+
+@pytest.mark.slow
+def test_gs_train_step_2d_mesh(mesh):
+    """dp x band 2D mesh: each dp row trains its own view band-sharded;
+    a gradient psum over dp averages the batch.  Must match single-device
+    gradient accumulation over the same two views."""
+    from jax.sharding import Mesh
+    from webdgs_tpu.parallel.sharding import gs_train_step
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, ("dp", "band"))
+    w, h = 64, 64
+    scene = random_scene(64, seed=29)
+    scene = scene.pad_to(-(-scene.capacity // 4) * 4)
+    gt = random_scene(30, seed=28)
+    gt = gt.replace(opacity_logits=gt.opacity_logits + 2.0)
+    cams = [default_camera(w, h, position=(0.15 * i, 0.0, -5.0))
+            for i in range(2)]
+    targets = jnp.stack([render(gt, c, w, h, SETTINGS).image for c in cams])
+    cam_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+    hp = AdamHyperparameters()
+    cfg = LossConfig()
+    opt = init_adam_state(scene.params())
+
+    new_scene, new_opt, m = gs_train_step(
+        scene, opt, cam_batch, targets, mesh2, img_w=w, img_h=h,
+        loss_cfg=cfg, hp=hp, settings=SETTINGS)
+    assert int(m["entries_dropped"]) == 0
+
+    # single-device reference: average grads over the two views, OR the
+    # visibility counts
+    params = scene.params()
+    grads = jax.tree.map(jnp.zeros_like, params)
+    counts = jnp.zeros((scene.capacity,), jnp.int32)
+    for i in range(2):
+        _, g, aux = compute_param_grads(
+            scene, cams[i], targets[i], w, h, cfg, SETTINGS, parity_sh=True)
+        grads = jax.tree.map(jnp.add, grads, g)
+        counts = counts + aux.num_tiles
+    grads = jax.tree.map(lambda x: x / 2, grads)
+    ref_params, _ = adam_step(params, grads, opt, hp, counts)
+
+    for k in ref_params:
+        np.testing.assert_allclose(
+            np.asarray(new_scene.params()[k]), np.asarray(ref_params[k]),
+            rtol=2e-4, atol=2e-6, err_msg=k)
+    assert np.isfinite(float(m["loss"]))

@@ -345,14 +345,32 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
     Returns (scene, opt_state, metrics) with the same metrics surface as
     ``train_step`` (loss/psnr/... computed on the full frame, identical on
     every device; ``visible``/``tile_entries`` are global psums).
+
+    **2D mesh (dp x band)**: with a two-axis mesh ``Mesh(devs.reshape(V,B),
+    ("dp", "band"))``, pass a stacked camera/target batch of V views.  The
+    scene/optimizer shard over "band" (replicated over "dp"); each dp row
+    trains its own view band-sharded, and one parameter-gradient ``psum``
+    over the small "dp" axis (O(N/B) bytes) averages the batch — the 2D
+    composition of the reference's single-view step at config-5 scale.
     """
-    axis = mesh.axis_names[0]
-    d = mesh.devices.size
+    if len(mesh.axis_names) == 2:
+        dp_axis, axis = mesh.axis_names
+        n_views = mesh.shape[dp_axis]
+        d = mesh.shape[axis]
+        if target.shape[0] != n_views:
+            raise ValueError(
+                f"2D mesh expects a view batch of {n_views}, got "
+                f"{target.shape[0]}")
+    else:
+        dp_axis = None
+        axis = mesh.axis_names[0]
+        n_views = 1
+        d = mesh.devices.size
     chunk = settings.chunk
     if scene.capacity % d != 0:
         raise ValueError(
-            f"scene capacity {scene.capacity} not divisible by mesh size "
-            f"{d}; pad_to a multiple first")
+            f"scene capacity {scene.capacity} not divisible by the band "
+            f"axis size {d}; pad_to a multiple first")
     ntx, nty = binning_ops.tile_grid(img_w, img_h, settings)
     nty_pad = -(-nty // d) * d
     binning_ops.check_tile_key_limit(ntx * nty_pad)
@@ -374,11 +392,15 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
 
     state_specs = AdamState(m=P(axis), v=P(axis), iteration=P())
 
+    cam_spec = P(dp_axis) if dp_axis else P()
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(axis), state_specs, P(), P()),
+        in_specs=(P(axis), state_specs, cam_spec, cam_spec),
         out_specs=(P(axis), state_specs, P()), check_vma=False)
     def step(scene_l, opt_l, cam, tgt):
+        if dp_axis:  # local slice of the view batch has a leading 1
+            cam = jax.tree.map(lambda x: x[0], cam)
+            tgt = tgt[0]
         b = jax.lax.axis_index(axis)
         params_l = scene_l.params()
 
@@ -466,13 +488,31 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
         d_params = {**d_params, "log_scales": jnp.where(
             aux.radius_capped[:, None], jnp.maximum(g_ls, 0.0), g_ls)}
 
+        counts = aux.num_tiles
+        if dp_axis:
+            # average the view batch: one psum of O(N/B) bytes over the
+            # small dp axis; visibility gating ORs across the batch
+            d_params = jax.tree.map(
+                lambda x: jax.lax.psum(x, dp_axis) / n_views, d_params)
+            counts = jax.lax.psum(counts, dp_axis)
+
         new_params, new_opt = adam_step(params_l, d_params, opt_l, hp,
-                                        aux.num_tiles)
+                                        counts)
         metrics = loss_metrics(pred, tgt, loss_cfg)
-        metrics["visible"] = jax.lax.psum(
-            jnp.sum(aux.visible.astype(jnp.int32)), axis)
-        metrics["tile_entries"] = jax.lax.psum(jnp.sum(aux.num_tiles), axis)
-        metrics["entries_dropped"] = jax.lax.psum(dropped_local, axis)
+        # per-view totals first (sum the band shards), then reduce views
+        visible = jax.lax.psum(jnp.sum(aux.visible.astype(jnp.int32)), axis)
+        entries = jax.lax.psum(jnp.sum(aux.num_tiles), axis)
+        dropped = jax.lax.psum(dropped_local, axis)
+        if dp_axis:
+            metrics = {k: jax.lax.psum(v, dp_axis) / n_views
+                       for k, v in metrics.items()}
+            # per-view MAX like dp_train_step (sizes the entry capacity)
+            visible = jax.lax.pmax(visible, dp_axis)
+            entries = jax.lax.pmax(entries, dp_axis)
+            dropped = jax.lax.psum(dropped, dp_axis)
+        metrics["visible"] = visible
+        metrics["tile_entries"] = entries
+        metrics["entries_dropped"] = dropped
         return scene_l.with_params(new_params), new_opt, metrics
 
     return step(scene, opt_state, camera, target)
