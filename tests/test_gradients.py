@@ -149,9 +149,77 @@ def test_prefix_gradient_reduction_matches_scatter():
             return jnp.sum(res.image * wgt)
         return jax.grad(loss)(scene.params())
 
-    g_scatter = loss_with(RenderSettings(chunk=128))
+    # the prefix path is the default at every scale (threshold 0); force
+    # the scatter-add transpose with an unreachable threshold
+    g_scatter = loss_with(RenderSettings(chunk=128,
+                                         grad_reduce_threshold=1 << 30))
     g_prefix = loss_with(RenderSettings(chunk=128, grad_reduce_threshold=1))
     for k in g_scatter:
         np.testing.assert_allclose(
             np.asarray(g_prefix[k]), np.asarray(g_scatter[k]),
             rtol=1e-3, atol=1e-5, err_msg=k)
+
+
+@pytest.mark.slow
+def test_finite_differences_smoothed_settings():
+    """Tight-tolerance FD gradcheck on a *smoothed* configuration: low
+    opacities (no alpha clamp, no saturation early-exit), alpha_min=0 (no
+    contribution threshold).  The remaining non-smoothness (extent-box
+    edges, depth-order ties) is negligible at these opacities, so the VJP
+    must agree with central differences at the 1e-3 class — 10-25x tighter
+    than the general-position check above, catching subtler VJP bugs."""
+    n, w, h = 30, 32, 32
+    smooth = RenderSettings(chunk=128, alpha_min=0.0)
+    scene = random_scene(n, seed=17, sh_deg=1)
+    # sigmoid(-1.5) ~ 0.18: far from the 0.99 clamp and saturation
+    scene = scene.replace(
+        opacity_logits=jnp.full_like(scene.opacity_logits, -1.5))
+    cam = default_camera(w, h, position=(0.0, 0.0, -5.0))
+    rng = np.random.default_rng(19)
+    wgt = jnp.asarray(rng.normal(0, 1, (h, w, 3)).astype(np.float32))
+
+    def loss(params):
+        s = scene.with_params(params)
+        res = render(s, cam, w, h, smooth)
+        return jnp.sum(res.image * wgt)
+
+    params = scene.params()
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+
+    def central_diff(key, arr, flat, i, eps):
+        fp = flat.copy(); fp[i] += eps
+        fm = flat.copy(); fm[i] -= eps
+        lp = float(loss({**params,
+                         key: jnp.asarray(fp.reshape(arr.shape))}))
+        lm = float(loss({**params,
+                         key: jnp.asarray(fm.reshape(arr.shape))}))
+        return (lp - lm) / (2 * eps)
+
+    rels = []
+    for key, n_checks in [("means", 6), ("quats", 5), ("log_scales", 5),
+                          ("opacity_logits", 5), ("sh", 5)]:
+        arr = np.asarray(params[key])
+        flat = arr.reshape(-1)
+        g_flat = np.asarray(grads[key]).reshape(-1)
+        # largest-gradient coordinates: maximal FD signal-to-noise in f32
+        for i in np.argsort(-np.abs(g_flat))[:n_checks]:
+            an = float(g_flat[i])
+            # a coordinate whose FD interval straddles one of the rare
+            # discontinuities (an extent-box edge or a 16-bit depth-order
+            # flip) shows a large-eps jump that VANISHES as eps shrinks —
+            # a true VJP bug persists at every eps (verified by an eps
+            # sweep: quats[51] converges 17.2 -> 3.274 vs analytic 3.278)
+            rel = np.inf
+            for eps in (1e-3, 2.5e-4, 1e-4):
+                fd = central_diff(key, arr, flat, i, eps)
+                rel = min(rel,
+                          abs(fd - an) / (max(abs(fd), abs(an)) + 1e-3))
+                if rel < 2e-2:
+                    break
+            rels.append(rel)
+    rels = np.array(rels)
+    assert len(rels) >= 25
+    assert np.median(rels) < 5e-3, f"median rel err {np.median(rels):.5f}"
+    assert np.mean(rels < 2e-2) >= 0.9, f"outliers: {np.sort(rels)[-4:]}"
+    assert rels.max() < 0.1, f"gross mismatch {rels.max():.4f}"
