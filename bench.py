@@ -43,6 +43,29 @@ def main():
                           os.environ["WEBDGS_BENCH_PLATFORM"])
     tiny = os.environ.get("WEBDGS_BENCH_SCALE") == "tiny"
 
+    # The axon TPU tunnel can be unreachable, in which case jax.devices()
+    # hangs forever; fail fast with an explanatory line instead (observed
+    # >5h outage on 2026-08-16/17).
+    import threading
+    probe_ok = threading.Event()
+
+    def probe():
+        jax.devices()
+        probe_ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout=float(os.environ.get("WEBDGS_BENCH_PROBE_S", "300")))
+    if not probe_ok.is_set():
+        print(json.dumps({
+            "metric": "train_iters_per_sec_100k_splats_800x600_v5e1",
+            "value": None,
+            "unit": "iters/s",
+            "error": "TPU backend unreachable (jax.devices() hung >300s); "
+                     "see RESULTS.md round-2 outage note",
+        }))
+        raise SystemExit(1)
+
     import jax.numpy as jnp
 
     from webdgs_tpu.config import RenderSettings
