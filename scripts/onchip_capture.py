@@ -2,28 +2,31 @@
 round-2 measurement sequence in one process (the tunnel has been flapping;
 one process = one init).  Logs to stdout; run under nohup/timeout."""
 
+import subprocess
 import sys
-import threading
 import time
 
 
 def wait_for_tpu(max_wait_s: float) -> bool:
-    import jax
-    ok = threading.Event()
-
-    def probe():
-        jax.devices()
-        ok.set()
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
+    """Probe with a FRESH subprocess each attempt: a backend init that
+    started while the tunnel was down stays wedged even after recovery,
+    so in-process waiting can never succeed."""
     deadline = time.time() + max_wait_s
+    attempt = 0
     while time.time() < deadline:
-        if ok.wait(timeout=30):
-            return True
-        print(f"[capture] waiting for TPU... {int(deadline - time.time())}s "
-              "left", flush=True)
-    return ok.is_set()
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=150)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[capture] attempt {attempt}: TPU down, "
+              f"{int(deadline - time.time())}s left", flush=True)
+        time.sleep(45)
+    return False
 
 
 def precision_check():
