@@ -26,6 +26,11 @@ from tests.dense_raster import rasterize_dense
 from tests.test_render_forward import random_scene
 
 SETTINGS = RenderSettings(chunk=128)
+# Exactness comparisons against the dense autodiff reference pin the
+# f32-exact matmul tier: they verify KERNEL LOGIC, not the (separately
+# error-budgeted) bf16x3 production tier — see
+# test_render_forward.test_bf16x3_error_budget.
+EXACT = RenderSettings(chunk=128, matmul_precision="highest")
 
 
 def _setup(n=80, w=48, h=32, seed=3, opacity_boost=0.0):
@@ -52,8 +57,8 @@ def test_backward_kernel_matches_dense_autodiff(opacity_boost):
     offs = np.asarray(bins.tile_offsets)
 
     out_kernel = raster_ops.rasterize_tiles(attrs16, bins.tile_offsets,
-                                            ntx, nty, SETTINGS)
-    out_dense = rasterize_dense(attrs16, offs, ntx, nty, SETTINGS)
+                                            ntx, nty, EXACT)
+    out_dense = rasterize_dense(attrs16, offs, ntx, nty, EXACT)
     np.testing.assert_allclose(np.asarray(out_kernel),
                                np.asarray(out_dense), rtol=3e-4, atol=3e-4)
 
@@ -66,9 +71,9 @@ def test_backward_kernel_matches_dense_autodiff(opacity_boost):
 
     _, vjp_k = jax.vjp(
         lambda a: raster_ops.rasterize_tiles(a, bins.tile_offsets, ntx, nty,
-                                             SETTINGS), attrs16)
+                                             EXACT), attrs16)
     _, vjp_d = jax.vjp(lambda a: rasterize_dense(a, offs, ntx, nty,
-                                                 SETTINGS), attrs16)
+                                                 EXACT), attrs16)
     (dk,) = vjp_k(g)
     (dd,) = vjp_d(g)
     dk = np.asarray(dk)[:11]  # rows 11..15 are padding

@@ -34,7 +34,10 @@ def random_scene(n, seed=0, spread=1.0, sh_deg=0):
 ])
 def test_forward_matches_reference(n, size, sh_deg):
     w, h = size
-    settings = RenderSettings(chunk=128)
+    # pin the f32-exact matmul tier: this verifies kernel LOGIC against the
+    # sequential oracle; the bf16x3 production tier is error-budgeted
+    # separately in test_bf16x3_error_budget
+    settings = RenderSettings(chunk=128, matmul_precision="highest")
     scene = random_scene(n, seed=42, sh_deg=sh_deg)
     cam = default_camera(w, h, position=(0.0, 0.0, -5.0))
 
@@ -179,3 +182,22 @@ def test_sh_eval_matches_reference_formula():
             expect[i] = np.maximum(c + 0.5, 0.0)
         np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6,
                                    err_msg=f"deg {deg}")
+
+
+def test_bf16x3_error_budget():
+    """The production bf16x3 matmul tier must stay within an f16-class
+    error budget of the f32-exact tier (the class the reference's packed
+    f16 splat attributes already live in).  Runs on CPU and — the real
+    check — on the chip's MXU under WEBDGS_TEST_TPU=1; a blowup here means
+    the default tier must flip back to 'highest'."""
+    w, h = 64, 48
+    scene = random_scene(60, seed=42)
+    cam = default_camera(w, h, position=(0.0, 0.0, -5.0))
+    imgs = {}
+    for tier in ("highest", "bf16x3"):
+        settings = RenderSettings(chunk=128, matmul_precision=tier)
+        imgs[tier] = np.asarray(
+            jax.jit(lambda s: render(s, cam, w, h, settings))(scene).image)
+    d = np.abs(imgs["bf16x3"] - imgs["highest"])
+    assert d.max() < 2e-3, f"bf16x3 error {d.max():.2e} exceeds f16 class"
+    assert d.mean() < 2e-4, f"bf16x3 mean error {d.mean():.2e}"
