@@ -204,6 +204,10 @@ def cmd_train(args):
     if holdout[0]:
         report["holdout"] = trainer.evaluate(views=holdout)
     print("eval:", json.dumps(report))
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"report -> {args.report}")
 
 
 def _load_scene_any(path):
@@ -289,6 +293,8 @@ def build_parser():
     t.add_argument("--export-ply", default=None)
     t.add_argument("--checkpoint-every", type=int, default=0,
                    help="save --out every N iterations")
+    t.add_argument("--report", default=None,
+                   help="write the end-of-training eval JSON to this file")
     _add_common_render_args(t)
     t.set_defaults(fn=cmd_train)
 
