@@ -348,3 +348,88 @@ def test_nan_rollback():
     # ...and training continued to a finite state past the rollback point
     assert np.isfinite(float(tr.last_metrics["loss"]))
     assert np.isfinite(np.asarray(tr.scene.means)).all()
+
+
+def _tiny_trainer(max_iterations=100, **trainer_kw):
+    """One-view trainer on a 32x32 synthetic scene (shared test harness)."""
+    from webdgs_tpu.core.camera import CameraData, default_camera
+    from webdgs_tpu.config import RenderSettings
+    from webdgs_tpu.render.renderer import render
+    from webdgs_tpu.train.config import (DensifyPruneConfig, DensifySchedule,
+                                         TrainerConfig)
+    from webdgs_tpu.train.trainer import Trainer
+
+    w = h = 32
+    settings = RenderSettings(chunk=128)
+    gt = random_scene(10, seed=95)
+    gt = gt.replace(opacity_logits=gt.opacity_logits + 2.0)
+    fy = 0.5 * h / np.tan(np.radians(45.0) / 2)
+    cam = default_camera(w, h, position=(0, 0, -5.0))
+    img = np.asarray(render(gt, cam, w, h, settings).image)
+    cams = [CameraData(id=0, position=np.zeros(3, np.float32),
+                       rotation=np.eye(3, dtype=np.float32),
+                       fx=fy, fy=fy, width=w, height=h)]
+    imgs = [{"name": "v0", "image": img, "width": w, "height": h}]
+    cfg = TrainerConfig(max_iterations=max_iterations,
+                        densify=DensifyPruneConfig(
+                            schedule=DensifySchedule(enabled=False)))
+    return Trainer(random_scene(8, seed=96), cams, imgs, cfg, settings,
+                   **trainer_kw)
+
+
+def test_set_config_live_mutation():
+    """VERDICT item: moving a slider mid-run changes the next step's update
+    (the reference's deep-partial setters, src/trainer.ts:248-283).  With
+    lr_pos=0 the means freeze; restoring it unfreezes them."""
+    tr = _tiny_trainer()
+    tr.step()
+    means_before = np.asarray(tr.scene.means)
+    tr.set_config({"adam": {"lr_pos": 0.0, "lr_rot": 0.0, "lr_scale": 0.0,
+                            "lr_opacity": 0.0, "lr_color": 0.0}})
+    assert tr.config.adam.lr_pos == 0.0
+    for _ in range(3):
+        tr.step()
+    np.testing.assert_array_equal(np.asarray(tr.scene.means), means_before)
+
+    tr.set_config({"adam": {"lr_pos": 0.01}})
+    tr.step()
+    assert not np.array_equal(np.asarray(tr.scene.means), means_before)
+
+    # unknown keys are rejected, valid state preserved
+    with pytest.raises(ValueError):
+        tr.set_config({"adam": {"not_a_knob": 1.0}})
+    assert tr.config.adam.lr_pos == 0.01
+
+
+def test_nan_detected_within_log_every():
+    """A divergence at a NON-snapshot iteration is caught within log_every
+    steps (the loss is a host float at every log line), not after up to
+    SNAPSHOT_INTERVAL-1 garbage steps."""
+    import jax.numpy as jnp
+
+    tr = _tiny_trainer()
+    tr.SNAPSHOT_INTERVAL = 50  # snapshots stay coarse
+
+    poisoned = {"done": False, "detected_at": None}
+    orig_step = tr.step
+
+    def step_with_poison():
+        m = orig_step()
+        if tr.iteration == 4 and not poisoned["done"]:
+            poisoned["done"] = True
+            tr.scene = tr.scene.replace(
+                means=tr.scene.means.at[0, 0].set(jnp.nan))
+            m = dict(m, loss=jnp.float32(np.nan))
+        return m
+
+    tr.step = step_with_poison
+    logs = []
+    tr.train(num_iterations=12, log_every=2, log_fn=logs.append)
+    assert poisoned["done"]
+    rb = [ln for ln in logs if "rolling back" in ln]
+    # detected at iter 4 — a log_every boundary, NOT a snapshot boundary
+    # (snapshot interval is 50); the old 250-granularity check would have
+    # trained on garbage until iteration 50
+    assert rb and rb[0].startswith("iter 4:")
+    # the rollback restored the pre-poison snapshot
+    assert np.isfinite(np.asarray(tr.scene.means)).all()

@@ -246,12 +246,12 @@ def cmd_serve(args):
     from webdgs_tpu.render.server import ViewerServer
     from webdgs_tpu.render.viewer import Viewer
 
-    trainer = None
+    trainer, holdout = None, None
     if args.train:
         if not (args.points and args.cameras and args.images):
             raise SystemExit("serve --train requires --points, --cameras "
                              "and --images")
-        trainer, _ = _build_trainer(args)
+        trainer, holdout = _build_trainer(args)
         scene = trainer.scene
     elif args.scene:
         scene = _load_scene_any(args.scene)
@@ -263,8 +263,8 @@ def cmd_serve(args):
         viewer.control.position = np.asarray(args.position, np.float32)
     else:
         viewer.frame_scene()
-    ViewerServer(viewer, trainer=trainer).serve(port=args.port,
-                                                host=args.host)
+    ViewerServer(viewer, trainer=trainer, holdout=holdout).serve(
+        port=args.port, host=args.host)
 
 
 def cmd_bench(args):

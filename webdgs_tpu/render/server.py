@@ -41,14 +41,52 @@ canvas { display:block; margin:0 auto; }
 </style></head><body>
 <div id="hud">webdgs_tpu &mdash; WASD/Space/Ctrl move &middot; drag look
 &middot; Q/E roll &middot; wheel dolly &middot; P point mode &middot; L loss view
-&middot; [/] splat scale
+&middot; [/] splat scale &middot; C config
 <span id="stats"></span></div>
+<div id="cfg" style="display:none; position:fixed; top:28px; left:8px;
+background:#1b1b1bee; padding:8px 12px; border:1px solid #333;"></div>
 <canvas id="c"></canvas>
 <script>
 const c = document.getElementById('c'), ctx = c.getContext('2d');
+// live hyperparameter sliders, the reference's training controls
+// (index.html:105-179 ranges; main.ts:301-372 wiring) — each input posts a
+// deep-partial config update applied to the NEXT training step
+const SLIDERS = [
+  ['adam.lr_pos',     'lr position', 0, 0.001,  0.00016],
+  ['adam.lr_rot',     'lr rotation', 0, 0.01,   0.001],
+  ['adam.lr_scale',   'lr scale',    0, 0.05,   0.005],
+  ['adam.lr_opacity', 'lr opacity',  0, 0.2,    0.05],
+  ['adam.lr_color',   'lr color',    0, 0.02,   0.0025],
+  ['loss.lambda_l1',  'lambda L1',   0, 1,      0.8],
+  ['loss.lambda_dssim','lambda DSSIM',0, 1,     0.2],
+  ['densify.schedule.interval', 'densify interval', 25, 1000, 100],
+  ['densify.metric_threshold',  'metric threshold', 0, 1, 0.5],
+  ['densify.prune_opacity',     'prune opacity', 0, 0.2, 0.01],
+];
+const cfgDiv = document.getElementById('cfg');
+for (const [path, label, lo, hi, init] of SLIDERS) {
+  const row = document.createElement('div');
+  row.innerHTML = `<label style="display:inline-block;width:130px">${label}</label>
+    <input type="range" min="${lo}" max="${hi}" step="${(hi-lo)/200}" value="${init}"
+     style="width:160px;vertical-align:middle">
+    <span style="display:inline-block;width:70px">${init}</span>`;
+  const inp = row.querySelector('input'), val = row.querySelector('span');
+  inp.oninput = () => {
+    val.textContent = (+inp.value).toPrecision(3);
+    const cfg = {}; let o = cfg;
+    const parts = path.split('.');
+    for (let i = 0; i < parts.length - 1; i++) o = o[parts[i]] = {};
+    const intKeys = path.includes('interval');
+    o[parts[parts.length-1]] = intKeys ? Math.round(+inp.value) : +inp.value;
+    post({config: cfg});
+  };
+  cfgDiv.appendChild(row);
+}
 let keys = {}, drag = null, wheel = 0;
 onkeydown = e => { keys[e.code] = true; if(e.code=='KeyP') post({toggle_mode:1});
                    if(e.code=='KeyT') post({toggle_train:1});
+                   if(e.code=='KeyC') cfgDiv.style.display =
+                       cfgDiv.style.display=='none' ? 'block' : 'none';
                    if(e.code=='KeyL') showLoss = !showLoss;
                    if(e.code=='BracketLeft') post({gaussian_scale_delta:-0.05});
                    if(e.code=='BracketRight') post({gaussian_scale_delta:0.05});
@@ -95,6 +133,7 @@ setInterval(async () => {
     t += ` | iter ${tr.iteration}/${tr.max_iterations}`
        + ` | ${tr.iters_per_sec.toFixed(1)} it/s`
        + (tr.psnr != null ? ` | psnr ${tr.psnr.toFixed(2)}` : '')
+       + (tr.holdout_psnr != null ? ` | holdout ${tr.holdout_psnr.toFixed(2)}` : '')
        + (tr.next_densify != null ? ` | densify@${tr.next_densify}` : '')
        + (tr.error ? ` | ERROR: ${tr.error}`
           : (tr.training ? ' | TRAINING (T pauses)' : ' | paused (T resumes)'));
@@ -112,12 +151,23 @@ class ViewerServer:
     MOTION_WINDOW_S = 0.4
     MOTION_DOWNSCALE = 2
 
+    # evaluate the holdout split (when one exists) this often during live
+    # training; a handful of views at the training resolution costs a few
+    # frames' worth of device time
+    HOLDOUT_EVAL_EVERY = 500
+    HOLDOUT_EVAL_VIEWS = 4
+
     def __init__(self, viewer, quality: int = 85, trainer=None,
                  start_training: bool = True,
-                 motion_downscale: int | None = None):
+                 motion_downscale: int | None = None,
+                 holdout: tuple[list, list] | None = None):
         self.viewer = viewer
         self.quality = quality
         self.lock = threading.Lock()
+        # guards the small shared flags below (training/_loss_view/...);
+        # separate from self.lock, which serializes device-touching work —
+        # handle_control holds self.lock while toggling these
+        self._state_lock = threading.Lock()
         self.fps = 0.0  # EMA like the reference HUD (main.ts:550-561)
         self._last_input = 0.0
         if motion_downscale is not None:
@@ -126,6 +176,8 @@ class ViewerServer:
         self.training = bool(trainer) and start_training
         self.train_error: str | None = None
         self._loss_view: tuple[int, float] = (0, 0.0)  # (index, chosen_at)
+        self.holdout = holdout if holdout and holdout[0] else None
+        self.holdout_psnr: float | None = None
         self._shutdown = threading.Event()
         self._train_thread: threading.Thread | None = None
         if trainer is not None:
@@ -138,17 +190,25 @@ class ViewerServer:
         tr = self.trainer
         while not self._shutdown.is_set():
             if tr.iteration >= tr.config.max_iterations:
-                self.training = False
+                with self._state_lock:
+                    self.training = False
             if not self.training:
                 self._shutdown.wait(0.05)
                 continue
             try:
                 tr.step()
+                if (self.holdout is not None
+                        and tr.iteration % self.HOLDOUT_EVAL_EVERY == 0):
+                    cams, imgs = self.holdout
+                    r = tr.evaluate(views=(cams[:self.HOLDOUT_EVAL_VIEWS],
+                                           imgs[:self.HOLDOUT_EVAL_VIEWS]))
+                    self.holdout_psnr = r["psnr"]
             except Exception as e:  # surface the failure in the HUD
                 import traceback
                 traceback.print_exc()
-                self.train_error = f"{type(e).__name__}: {e}"
-                self.training = False
+                with self._state_lock:
+                    self.train_error = f"{type(e).__name__}: {e}"
+                    self.training = False
                 continue
             # the scene pytree is immutable; publishing the new one to the
             # frame renderer is a single atomic attribute store (the
@@ -158,9 +218,10 @@ class ViewerServer:
     def toggle_training(self) -> bool:
         if self.trainer is None:
             return False
-        if self.trainer.iteration < self.trainer.config.max_iterations:
-            self.training = not self.training
-        return self.training
+        with self._state_lock:
+            if self.trainer.iteration < self.trainer.config.max_iterations:
+                self.training = not self.training
+            return self.training
 
     def shutdown(self) -> None:
         self._shutdown.set()
@@ -190,6 +251,15 @@ class ViewerServer:
                     else "gaussian")
             if "toggle_train" in msg:
                 self.toggle_training()
+            if "config" in msg and self.trainer is not None:
+                # live hyperparameter mutation, the reference's slider
+                # setters (src/trainer.ts:248-283 deep partials); applies
+                # from the next training step (rebuilds the jit closures)
+                try:
+                    self.trainer.set_config(msg["config"])
+                except (ValueError, TypeError) as e:
+                    with self._state_lock:
+                        self.train_error = f"config: {e}"
             if "gaussian_scale_delta" in msg:
                 cur = self.viewer.settings.gaussian_scaling
                 self.viewer.set_gaussian_scaling(
@@ -234,6 +304,7 @@ class ViewerServer:
                 "next_densify": tr.next_densify_iteration(),
                 "training": self.training,
                 "error": self.train_error,
+                "holdout_psnr": self.holdout_psnr,
             }
         return out
 
@@ -265,13 +336,14 @@ class ViewerServer:
             return self.frame_jpeg()
         from PIL import Image
         import random as _random
-        idx, chosen = self._loss_view
         now = time.monotonic()
-        if now - chosen > self.LOSS_VIEW_HOLD_S:
-            flat_count = sum(g["count"]
-                             for g in self.trainer.groups.values())
-            idx = _random.randrange(flat_count)
-            self._loss_view = (idx, now)
+        with self._state_lock:
+            idx, chosen = self._loss_view
+            if now - chosen > self.LOSS_VIEW_HOLD_S:
+                flat_count = sum(g["count"]
+                                 for g in self.trainer.groups.values())
+                idx = _random.randrange(flat_count)
+                self._loss_view = (idx, now)
         img = np.asarray(self.trainer.visualize_loss(idx))
         # abs-value vis like the reference's fs_abs blit (blit.wgsl:27-37)
         arr = (np.clip(img, 0, 1) * 255.0 + 0.5).astype(np.uint8)

@@ -89,7 +89,7 @@ class Trainer:
         self.groups = _group_views(cameras, images)
 
         self.num_points = int(scene.num_alive())
-        cap = initial_capacity or _round_capacity(scene.capacity)
+        cap = initial_capacity or self._round(scene.capacity)
         self.scene = scene.pad_to(cap)
         self.opt_state = init_adam_state(self.scene.params())
 
@@ -100,6 +100,46 @@ class Trainer:
         self.iters_per_sec = 0.0
         self.last_densify_iteration: int | None = None
         self.last_metrics: dict = {}
+
+    def _round(self, n: int) -> int:
+        """Capacity rounding policy (subclasses may add divisibility
+        constraints, e.g. the sharded trainer needs mesh-divisible
+        capacities)."""
+        return _round_capacity(n)
+
+    # every cached_property below closes over self.config/self.settings;
+    # set_config invalidates them so live mutation takes effect (the
+    # reference mutates all three configs mid-training from sliders,
+    # src/trainer.ts:248-283)
+    _CONFIG_CLOSURES = ("_indexed_step", "_indexed_dp_step", "_densify_fn",
+                        "_eval_fn", "_loss_map_fn")
+
+    def set_config(self, updates) -> None:
+        """Apply a deep-partial config update mid-training, like the
+        reference's slider-driven setters (src/trainer.ts:248-283 accept
+        deep partials; src/main.ts:301-372 wires the sliders).
+
+        ``updates``: a dict of deep-partial overrides (e.g.
+        ``{"adam": {"lr_pos": 0.0}}``) or a full TrainerConfig.  Rebuilds
+        the cached jitted closures so the next step uses the new values."""
+        from webdgs_tpu.train.config import TrainerConfig, _merge_dataclass
+        if isinstance(updates, TrainerConfig):
+            self.config = updates
+        else:
+            self.config = _merge_dataclass(self.config, updates)
+        for name in self._CONFIG_CLOSURES:
+            self.__dict__.pop(name, None)
+
+    def set_settings(self, updates) -> None:
+        """Apply a partial RenderSettings update mid-training (the
+        reference's gaussian-scale knob, src/main.ts:369-372)."""
+        import dataclasses as _dc
+        if isinstance(updates, RenderSettings):
+            self.settings = updates
+        else:
+            self.settings = _dc.replace(self.settings, **updates)
+        for name in self._CONFIG_CLOSURES:
+            self.__dict__.pop(name, None)
 
     # ------------------------------------------------------------------
     def _pick_group(self):
@@ -256,7 +296,7 @@ class Trainer:
         needed = self.num_points + cfg.max_new_points_per_step
         budget = cfg.max_buffer_bytes // 96  # sh-buffer stride analogue
         if needed > self.scene.capacity and self.scene.capacity < budget:
-            new_cap = _round_capacity(min(int(needed * 1.5), budget))
+            new_cap = self._round(min(int(needed * 1.5), budget))
             if new_cap > self.scene.capacity:
                 pad = new_cap - self.scene.capacity
                 self.scene = self.scene.pad_to(new_cap)
@@ -337,12 +377,17 @@ class Trainer:
                 break
             take = g["count"] if remaining is None else min(g["count"],
                                                             remaining)
-            cams = jax.tree.map(lambda x: x[:take], g["cams"])
-            vals = self._eval_fn(self.scene, cams, g["imgs"][:take],
+            # evaluate the whole pre-stacked group and slice host-side:
+            # slicing the device arrays to `take` would change the stacked
+            # shapes and trigger a fresh lax.map compile per distinct count
+            vals = self._eval_fn(self.scene, g["cams"], g["imgs"],
                                  w, h, self._entry_cap())
-            per_view.append(np.asarray(vals))
+            per_view.append(np.asarray(vals)[:take])
             if remaining is not None:
                 remaining -= take
+        if not per_view:
+            return {"psnr": float("nan"), "l1": float("nan"),
+                    "ssim": float("nan"), "views": 0}
         allv = np.concatenate(per_view, axis=0)
         return {"psnr": float(allv[:, 0].mean()),
                 "l1": float(allv[:, 1].mean()),
@@ -382,7 +427,7 @@ class Trainer:
     def resume_from(self, scene, opt_state, iteration: int) -> None:
         """Restore training state from a checkpoint (the reference cannot
         resume at all — a page reload loses everything, SURVEY.md sec 5)."""
-        cap = _round_capacity(scene.capacity)
+        cap = self._round(scene.capacity)
         self.scene = scene.pad_to(cap)
         if opt_state is not None:
             pad = cap - opt_state.m["means"].shape[0]
@@ -424,11 +469,18 @@ class Trainer:
             jax.profiler.start_trace(profile_dir)
         rollbacks = 0
         self._snapshot()
+        # the loss is already a host float at every log line, so check
+        # finiteness at log_every cadence (a divergence is noticed within
+        # log_every steps) while snapshots stay at SNAPSHOT_INTERVAL
+        check_every = min(log_every or self.SNAPSHOT_INTERVAL,
+                          self.SNAPSHOT_INTERVAL)
         try:
             n = num_iterations or self.config.max_iterations
             for _ in range(n):
                 metrics = self.step()
-                if self.iteration % self.SNAPSHOT_INTERVAL == 0:
+                it = self.iteration
+                if (it % check_every == 0
+                        or it % self.SNAPSHOT_INTERVAL == 0):
                     loss = float(metrics["loss"])
                     if not np.isfinite(loss):
                         rollbacks += 1
@@ -442,8 +494,9 @@ class Trainer:
                                    f"{self._last_good[2]}")
                         self._rollback()
                         continue
-                    rollbacks = 0  # a clean snapshot resets the budget
-                    self._snapshot()
+                    if it % self.SNAPSHOT_INTERVAL == 0:
+                        rollbacks = 0  # a clean snapshot resets the budget
+                        self._snapshot()
                 if log_every and self.iteration % log_every == 0 and log_fn:
                     log_fn(f"iter {self.iteration}: "
                            f"loss={float(metrics['loss']):.4f} "
