@@ -47,6 +47,13 @@ def metric_flag_map(pred: jax.Array, target: jax.Array,
 
 def _metric_kernel(offsets_ref, attrs_ref, pix_ref, out_ref, scr, cnt_scr,
                    sem, osem, *, ntx: int, settings: RenderSettings):
+    """Per-tile replay with the same prefetch discipline as the rasterizer
+    kernels: double-buffered input DMA, double-buffered count write-out,
+    and two work bounds the serial version lacked — entries past every
+    flagged pixel's n_contrib never count (the reference replays only the
+    first n_contrib instances, metric-count.wgsl:55-62), and a tile with no
+    flagged pixel skips its replay entirely (metric-count.wgsl:33-36 early
+    return)."""
     k = settings.chunk
     t = pl.program_id(0)
     start = offsets_ref[t]
@@ -57,23 +64,78 @@ def _metric_kernel(offsets_ref, attrs_ref, pix_ref, out_ref, scr, cnt_scr,
     flagged = pix_ref[0, :, 0:1]  # (P, 1)
     n_contrib = pix_ref[0, :, 1:2]
 
-    def body(c, _):
+    # chunks at positions beyond every flagged pixel's last contributor
+    # produce all-zero counts; skip them (zero-filled below)
+    max_nc = jnp.max(jnp.where(flagged > 0.0, n_contrib, 0.0))
+    live = jnp.minimum(nch, (max_nc.astype(jnp.int32) + k - 1) // k)
+
+    def chunk_dma(c, slot):
         base = pl.multiple_of(start + c * k, k)
-        cp = pltpu.make_async_copy(attrs_ref.at[:, pl.ds(base, k)], scr, sem)
-        cp.start()
-        cp.wait()
-        alpha, _, _, _ = _chunk_alpha(scr[:], pxf, pyf, settings)
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(base, k)], scr.at[slot], sem.at[slot])
+
+    def out_dma(c, slot):
+        base = pl.multiple_of(start + c * k, k)
+        return pltpu.make_async_copy(
+            cnt_scr.at[slot], out_ref.at[:, pl.ds(base, k)], osem.at[slot])
+
+    @pl.when(live > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def body(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 < live)
+        def _():
+            chunk_dma(c + 1, (c + 1) % 2).start()
+
+        chunk_dma(c, slot).wait()
+
+        # the count scratch slot is reused every other chunk: its previous
+        # write-out must have drained before overwriting
+        @pl.when(c >= 2)
+        def _():
+            out_dma(c - 2, slot).wait()
+
+        alpha, _, _, _ = _chunk_alpha(scr[slot], pxf, pyf, settings)
         pos = (c * k + lane + 1).astype(jnp.float32)
         m = ((alpha >= settings.alpha_min) & (pos <= n_contrib)
              & (flagged > 0.0)).astype(jnp.float32)
-        cnt_scr[0:1, :] = jnp.sum(m, axis=0, keepdims=True)
-        out_cp = pltpu.make_async_copy(
-            cnt_scr, out_ref.at[:, pl.ds(base, k)], osem)
-        out_cp.start()
-        out_cp.wait()
+        cnt_scr[slot, 0:1, :] = jnp.sum(m, axis=0, keepdims=True)
+        out_dma(c, slot).start()
         return 0
 
-    jax.lax.fori_loop(0, nch, body, 0)
+    jax.lax.fori_loop(0, live, body, 0)
+
+    @pl.when(live >= 2)
+    def _():
+        out_dma(live - 2, live % 2).wait()
+
+    @pl.when(live >= 1)
+    def _():
+        out_dma(live - 1, (live - 1) % 2).wait()
+
+    # chunks skipped by the n_contrib/flag bounds still need zero counts
+    cnt_scr[0] = jnp.zeros((1, k), jnp.float32)
+    cnt_scr[1] = jnp.zeros((1, k), jnp.float32)
+
+    def zero_fill(c, _):
+        @pl.when(c >= live + 2)
+        def _():
+            out_dma(c - 2, (c - 2) % 2).wait()
+        out_dma(c, c % 2).start()
+        return 0
+
+    jax.lax.fori_loop(live, nch, zero_fill, 0)
+
+    @pl.when(nch - live >= 2)
+    def _():
+        out_dma(nch - 2, nch % 2).wait()
+
+    @pl.when(nch - live >= 1)
+    def _():
+        out_dma(nch - 1, (nch - 1) % 2).wait()
 
 
 def _entry_counts(attrs16, tile_offsets, pix_tiles, num_tiles_x, num_tiles_y,
@@ -92,10 +154,10 @@ def _entry_counts(attrs16, tile_offsets, pix_tiles, num_tiles_x, num_tiles_y,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((raster_ops.NUM_ROWS, k), jnp.float32),
-            pltpu.VMEM((1, k), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, raster_ops.NUM_ROWS, k), jnp.float32),
+            pltpu.VMEM((2, 1, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_metric_kernel, ntx=num_tiles_x,
@@ -134,8 +196,15 @@ def view_importance_counts(scene_params, alive, sh_deg, camera: Camera,
 
     entry_counts = _entry_counts(attrs16, bins.tile_offsets, pix_tiles,
                                  ntx, nty, settings)[0]
-    entry_counts = jnp.where(bins.entry_valid, entry_counts, 0.0)
     n = alive.shape[0]
+    if bins.entry_source is not None:
+        # per-Gaussian sums without the large-scale XLA scatter-add (same
+        # prefix-segment reduction as the gradient path)
+        e_cap = bins.capacity - ntx * nty * settings.chunk
+        return raster_ops.segment_reduce_entries(
+            e_cap, entry_counts[:, None], bins.entry_valid,
+            bins.entry_source, bins.gauss_counts)[:, 0]
+    entry_counts = jnp.where(bins.entry_valid, entry_counts, 0.0)
     return jnp.zeros((n,), jnp.float32).at[bins.entry_gauss].add(entry_counts)
 
 

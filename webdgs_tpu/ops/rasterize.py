@@ -516,22 +516,26 @@ def _gather_pack_prefix_fwd(e_cap, per_gauss, entry_gauss, entry_valid,
     return out, (entry_valid, entry_source, gauss_counts)
 
 
-def _gather_pack_prefix_bwd(e_cap, res, g):
-    """Per-Gaussian gradient accumulation WITHOUT an XLA scatter-add.
+def segment_reduce_entries(e_cap, rows, entry_valid, entry_source,
+                           gauss_counts):
+    """Per-Gaussian accumulation of per-entry values WITHOUT an XLA
+    scatter-add (XLA serializes large-scale row scatters: measured 16.4 ms
+    at 530k entries into 100k Gaussians vs 7.2 ms for this path).
 
     Entries in expansion order are grouped by Gaussian (jnp.repeat emits
     them in index order), so per-Gaussian sums are differences of an
-    inclusive prefix sum at segment boundaries.  The cotangent rows arrive
-    in tile-sorted slot order; ``entry_source`` maps each slot back to its
+    inclusive prefix sum at segment boundaries.  ``rows`` (A, C) arrive in
+    tile-sorted slot order; ``entry_source`` maps each slot back to its
     expansion index (real entries carry sources in [0, e_cap)), so its
     unique-index inverse permutes them into expansion order.  f32
     prefix-difference error is ~eps*sqrt(E/s) relative for a segment of
     size s — ~2e-4 worst case, immaterial for SGD.
-    """
-    entry_valid, entry_source, gauss_counts = res
-    a_cap = entry_source.shape[0]
 
-    rows = jnp.where(entry_valid[:, None], g.T, 0.0)  # (A, 16)
+    Returns (N, C) per-Gaussian sums (N = gauss_counts.shape[0]).
+    """
+    a_cap = entry_source.shape[0]
+    c = rows.shape[1]
+    rows = jnp.where(entry_valid[:, None], rows, 0.0)  # (A, C)
 
     # inverse permutation: expansion index -> slot.  Valid slots carry
     # unique sources in [0, e_cap); invalid slots are redirected out of
@@ -542,8 +546,8 @@ def _gather_pack_prefix_bwd(e_cap, res, g):
     inv = jnp.full((e_cap,), a_cap, jnp.int32)
     inv = inv.at[src].set(slot_ids, mode="drop", unique_indices=True)
 
-    rows_pad = jnp.concatenate([rows, jnp.zeros((1, NUM_ROWS), jnp.float32)])
-    d_exp = rows_pad[inv]  # (E, 16) in expansion (gaussian-grouped) order
+    rows_pad = jnp.concatenate([rows, jnp.zeros((1, c), jnp.float32)])
+    d_exp = rows_pad[inv]  # (E, C) in expansion (gaussian-grouped) order
 
     cum = jnp.cumsum(d_exp, axis=0)
     cum_counts = jnp.cumsum(gauss_counts)
@@ -551,7 +555,15 @@ def _gather_pack_prefix_bwd(e_cap, res, g):
     first = cum_counts - gauss_counts  # exclusive start
     seg = cum[last] - jnp.where((first > 0)[:, None],
                                 cum[jnp.maximum(first - 1, 0)], 0.0)
-    d_per_gauss = jnp.where((gauss_counts > 0)[:, None], seg, 0.0)
+    return jnp.where((gauss_counts > 0)[:, None], seg, 0.0)
+
+
+def _gather_pack_prefix_bwd(e_cap, res, g):
+    """Rasterizer-cotangent accumulation per Gaussian via
+    :func:`segment_reduce_entries` (the transpose of the entry gather)."""
+    entry_valid, entry_source, gauss_counts = res
+    d_per_gauss = segment_reduce_entries(e_cap, g.T, entry_valid,
+                                         entry_source, gauss_counts)
 
     def f0(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)

@@ -32,12 +32,19 @@ class RenderResult(NamedTuple):
 
 def render_from_attrs(attrs: SplatAttrs, aux: SplatAux, img_w: int,
                       img_h: int, settings: RenderSettings,
-                      entry_capacity: int | None = None):
+                      entry_capacity: int | None = None,
+                      for_grad: bool = False):
     """Bin (non-differentiable) + rasterize (custom VJP) from projected
-    splat attributes.  Differentiable w.r.t. ``attrs``."""
+    splat attributes.  Differentiable w.r.t. ``attrs``.
+
+    ``for_grad``: the gradient path wants the sort to carry the expansion-
+    slot payload (for the prefix-segment gradient reduction); forward-only
+    callers (viewer frames, evaluate) skip that payload and its post-sort
+    gather."""
     ntx, nty = binning_ops.tile_grid(img_w, img_h, settings)
-    bins = binning_ops.bin_splats(aux, img_w, img_h, settings,
-                                  capacity=entry_capacity)
+    bins = binning_ops.bin_splats(
+        aux, img_w, img_h, settings, capacity=entry_capacity,
+        with_source=None if for_grad else False)
     e_cap = bins.capacity - ntx * nty * settings.chunk
     attrs16 = raster_ops.pack_entry_attrs(
         attrs, bins.entry_gauss, bins.entry_valid, settings,

@@ -67,7 +67,7 @@ def compute_param_grads(scene: GaussianScene, camera: Camera,
 
     def img_fn(a):
         out, _ = render_from_attrs(a, aux, img_w, img_h, settings,
-                                   entry_capacity)
+                                   entry_capacity, for_grad=True)
         tiles = raster_ops.tiles_to_image(out, ntx, nty, img_w, img_h,
                                           settings)
         return raster_ops.composite_background(tiles, settings)
