@@ -27,7 +27,12 @@ run_profile() {
 
 run_bench() {
     echo "== headline bench =="
-    timeout 1200 python bench.py
+    timeout 1200 python bench.py | tee /tmp/bench_r3_headline.json
+}
+
+run_bench1m() {
+    echo "== 1M-splat scale point =="
+    timeout 1800 python scripts/bench_1m.py
 }
 
 run_train30k() {
@@ -47,7 +52,18 @@ case "$STAGE" in
     tests) run_tests ;;
     profile) run_profile ;;
     bench) run_bench ;;
+    bench1m) run_bench1m ;;
     train30k) run_train30k ;;
-    all) run_tests && run_profile && run_bench && run_train30k ;;
+    all)
+        # Cheapest, highest-value first: windows can be ~26 min total.
+        # Non-fatal sequencing; report every rc at the end.
+        run_bench;   rc_bench=$?
+        run_profile; rc_profile=$?
+        run_tests;   rc_tests=$?
+        run_bench1m; rc_1m=$?
+        run_train30k; rc_30k=$?
+        echo "RCs: bench=$rc_bench profile=$rc_profile tests=$rc_tests bench1m=$rc_1m train30k=$rc_30k"
+        exit $(( rc_bench | rc_profile | rc_tests ))
+        ;;
     *) echo "unknown stage $STAGE"; exit 1 ;;
 esac

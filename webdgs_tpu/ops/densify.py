@@ -95,19 +95,18 @@ def _quat_rotate(q: jax.Array, v: jax.Array) -> jax.Array:
     return 2.0 * udv * u + (s * s - uu) * v + 2.0 * s * jnp.cross(u, v)
 
 
-def densify_prune(scene: GaussianScene, opt_state: AdamState,
-                  metric_counts: jax.Array, cfg: DensifyPruneConfig,
-                  key: jax.Array) -> DensifyResult:
-    n = scene.capacity
-    counts, actions = decide(scene, metric_counts, cfg)
-    in_alive = jnp.sum(scene.alive.astype(jnp.int32))
+def cap_counts(counts: jax.Array, actions: jax.Array, max_out,
+               base_offset=0):
+    """Clip counts so outputs stay under ``max_out`` (densify-prune-cap.wgsl),
+    degrading boundary clones/splits to keep.  ``base_offset`` shifts the
+    output offsets (the sharded event passes each shard's global base so cap
+    decisions match the single-device event exactly).
 
-    # capacity cap (densify-prune-cap.wgsl; trainer.ts:147-160 growth cap)
-    max_out = jnp.minimum(jnp.int32(n),
-                          in_alive + jnp.int32(cfg.max_new_points_per_step))
+    Returns (counts, actions, offsets, total) — offsets are LOCAL (exclude
+    base_offset), total is the local output count."""
     offsets = jnp.cumsum(counts) - counts
-    counts = jnp.clip(max_out - offsets, 0, counts)
-    total = jnp.minimum(jnp.sum(counts), max_out)
+    counts = jnp.clip(max_out - (offsets + base_offset), 0, counts)
+    total = jnp.sum(counts)
     # a clone/split clipped from 2 to 1 at the boundary degrades to keep so
     # the surviving slot is an untransformed copy (densify-prune-cap.wgsl:
     # 45-48); without this a boundary split would emit one jittered,
@@ -115,6 +114,22 @@ def densify_prune(scene: GaussianScene, opt_state: AdamState,
     degraded = (counts == 1) & ((actions == ACTION_CLONE)
                                 | (actions == ACTION_SPLIT))
     actions = jnp.where(degraded, ACTION_KEEP, actions)
+    # offsets must be recomputed from the clipped counts: clipping zeroes
+    # tail counts, which only shortens the output — prefix offsets of the
+    # surviving outputs are unchanged
+    return counts, actions, offsets, total
+
+
+def compact_transform(params: dict, opt_state: AdamState, counts, actions,
+                      total, jitter_u, split_d):
+    """Compaction-with-expansion + the reference's 6 scatter transforms, for
+    a (possibly shard-local) slice.  ``jitter_u``/``split_d``: per-SOURCE
+    random rows (N, 3).  Output capacity equals the input capacity; slots
+    >= ``total`` are dead.
+
+    Returns (new_params, new_opt, valid_out)."""
+    n = counts.shape[0]
+    offsets = jnp.cumsum(counts) - counts
 
     # out slot -> (source gaussian, variant)
     src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), counts,
@@ -125,13 +140,11 @@ def densify_prune(scene: GaussianScene, opt_state: AdamState,
     variant = o_idx - offsets[src]
     act = actions[src]
 
-    params = scene.params()
     p_src = {k: v[src] for k, v in params.items()}
 
     # per-source randomness: U(-1,1)^3 for clone jitter, N(0,1)^3 for split
-    k1, k2 = jax.random.split(key)
-    jitter_u = jax.random.uniform(k1, (n, 3), jnp.float32, -1.0, 1.0)[src]
-    split_d = jax.random.normal(k2, (n, 3), jnp.float32)[src]
+    jitter_u = jitter_u[src]
+    split_d = split_d[src]
 
     log_sigma = jnp.clip(p_src["log_scales"], -10.0, 10.0)
     sigma = jnp.exp(log_sigma)
@@ -182,6 +195,36 @@ def densify_prune(scene: GaussianScene, opt_state: AdamState,
 
     new_opt = AdamState(m=move_state(opt_state.m), v=move_state(opt_state.v),
                         iteration=opt_state.iteration)
+    return new_params, new_opt, valid_out
+
+
+def densify_rng(key: jax.Array, n: int):
+    """The event's per-source random rows: U(-1,1)^3 clone jitter and
+    N(0,1)^3 split direction (densify-prune-scatter-gaussians.wgsl:67-77,
+    111-121).  Shared by the single-device and sharded events so a shard
+    slicing rows [b*n_loc, (b+1)*n_loc) of the same key draws exactly the
+    single-device values."""
+    k1, k2 = jax.random.split(key)
+    jitter_u = jax.random.uniform(k1, (n, 3), jnp.float32, -1.0, 1.0)
+    split_d = jax.random.normal(k2, (n, 3), jnp.float32)
+    return jitter_u, split_d
+
+
+def densify_prune(scene: GaussianScene, opt_state: AdamState,
+                  metric_counts: jax.Array, cfg: DensifyPruneConfig,
+                  key: jax.Array) -> DensifyResult:
+    n = scene.capacity
+    counts, actions = decide(scene, metric_counts, cfg)
+    in_alive = jnp.sum(scene.alive.astype(jnp.int32))
+
+    # capacity cap (densify-prune-cap.wgsl; trainer.ts:147-160 growth cap)
+    max_out = jnp.minimum(jnp.int32(n),
+                          in_alive + jnp.int32(cfg.max_new_points_per_step))
+    counts, actions, _, total = cap_counts(counts, actions, max_out)
+
+    jitter_u, split_d = densify_rng(key, n)
+    new_params, new_opt, valid_out = compact_transform(
+        scene.params(), opt_state, counts, actions, total, jitter_u, split_d)
     new_scene = scene.with_params(new_params).replace(alive=valid_out)
 
     live_src = scene.alive

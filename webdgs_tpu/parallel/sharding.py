@@ -168,8 +168,10 @@ def render_tile_sharded(scene: GaussianScene, camera: Camera, img_w: int,
             center_px=attrs.center_px - shift[None, :].astype(jnp.float32))
 
         # full capacity per band: a concentrated scene can land all its
-        # entries in one band (dividing by D would silently drop them)
-        bins = binning_ops.bin_splats(aux_b, img_w, band_h, settings)
+        # entries in one band (dividing by D would silently drop them).
+        # Forward-only: skip the gradient path's sort payload.
+        bins = binning_ops.bin_splats(aux_b, img_w, band_h, settings,
+                                      with_source=False)
         attrs16 = raster_ops.pack_entry_attrs(attrs_b, bins.entry_gauss,
                                               bins.entry_valid, settings)
         out = raster_ops.rasterize_tiles(attrs16, bins.tile_offsets, ntx,
@@ -325,10 +327,20 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
                   hp: AdamHyperparameters = AdamHyperparameters(),
                   settings: RenderSettings = DEFAULT_SETTINGS,
                   send_capacity: int | None = None,
+                  entry_capacity: int | None = None,
                   parity_sh: bool = True):
     """One training step with the scene AND optimizer state sharded over
     the Gaussian axis (BASELINE config 5: 1M+ splats beyond one chip's
     params+moments memory).
+
+    ``entry_capacity``: per-device expansion capacity override (the
+    adaptive analogue of the single-device Trainer's entry cap); defaults
+    to the static per-shard heuristic.  ``send_capacity``: per-destination-
+    band entry budget.  The returned metrics carry the observations an
+    adaptive caller needs: ``entries_local_max`` (largest per-device entry
+    count) and ``send_max`` (largest single (device, band) send), mirroring
+    the reference's maxTileEntries-driven resize
+    (src/renderers/tiled-forward-pass.ts:137-158).
 
     Forward: each device projects/expands its N/D Gaussians and one
     ``all_to_all`` carries packed entry rows to their tile-band owners,
@@ -379,7 +391,9 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
     band_tiles = ntx * rows
 
     n_loc = scene.capacity // d
-    e_loc = binning_ops.entry_capacity(n_loc, settings)
+    e_loc = (entry_capacity if entry_capacity is not None
+             else binning_ops.entry_capacity(n_loc, settings))
+    e_loc = max(-(-e_loc // chunk) * chunk, chunk)
     if send_capacity is None:
         send_capacity = min(-(-2 * (e_loc // max(d, 1)) // chunk) * chunk,
                             e_loc)
@@ -503,6 +517,10 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
         visible = jax.lax.psum(jnp.sum(aux.visible.astype(jnp.int32)), axis)
         entries = jax.lax.psum(jnp.sum(aux.num_tiles), axis)
         dropped = jax.lax.psum(dropped_local, axis)
+        # adaptation observations: the largest per-device expansion load and
+        # the largest single (device -> band) send this step
+        entries_local = jax.lax.pmax(jnp.sum(aux.num_tiles), axis)
+        send_max = jax.lax.pmax(jnp.max(band_cnt), axis)
         if dp_axis:
             metrics = {k: jax.lax.psum(v, dp_axis) / n_views
                        for k, v in metrics.items()}
@@ -510,9 +528,13 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
             visible = jax.lax.pmax(visible, dp_axis)
             entries = jax.lax.pmax(entries, dp_axis)
             dropped = jax.lax.psum(dropped, dp_axis)
+            entries_local = jax.lax.pmax(entries_local, dp_axis)
+            send_max = jax.lax.pmax(send_max, dp_axis)
         metrics["visible"] = visible
         metrics["tile_entries"] = entries
         metrics["entries_dropped"] = dropped
+        metrics["entries_local_max"] = entries_local
+        metrics["send_max"] = send_max
         return scene_l.with_params(new_params), new_opt, metrics
 
     return step(scene, opt_state, camera, target)
