@@ -8,7 +8,7 @@ import numpy as np
 
 from webdgs_tpu.config import RenderSettings
 from webdgs_tpu.core.camera import default_camera
-from webdgs_tpu.ops.adam import init_adam_state
+from webdgs_tpu.ops.adam import init_adam_state, unpack_rows
 from webdgs_tpu.ops.densify import (ACTION_CLONE, ACTION_KEEP, ACTION_PRUNE,
                                     ACTION_SPLIT, LN_1P6, OPACITY_MAX_RAW,
                                     decide, densify_prune)
@@ -93,10 +93,11 @@ def test_scatter_semantics():
     assert np.allclose(np.asarray(s2.opacity_logits)[4], OPACITY_MAX_RAW)
     # moments: kept for keeps (non-opacity), reset for new slots,
     # opacity moments always reset
-    m_means = np.asarray(res.opt_state.m["means"])
+    m_leaves = unpack_rows(res.opt_state.m)
+    m_means = np.asarray(m_leaves["means"])
     assert np.allclose(m_means[0], 1.0)  # keep
     assert np.allclose(m_means[4], 0.0)  # split child = new
-    assert np.allclose(np.asarray(res.opt_state.m["opacity_logits"]), 0.0)
+    assert np.allclose(np.asarray(m_leaves["opacity_logits"]), 0.0)
     # alive mask matches out_total
     assert int(jnp.sum(s2.alive)) == 8
 

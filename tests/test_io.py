@@ -195,8 +195,7 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(back.means),
                                np.asarray(scene.means))
     assert opt2 is not None
-    np.testing.assert_allclose(np.asarray(opt2.m["sh"]),
-                               np.asarray(opt.m["sh"]))
+    np.testing.assert_allclose(np.asarray(opt2.m), np.asarray(opt.m))
 
 
 def test_native_parser_matches_python():

@@ -264,10 +264,9 @@ def test_gs_train_step_matches_single(mesh):
     # differ by accumulation-order noise up to ~0.5% relative on small
     # entries; the Adam update itself (params above) normalizes this away
     # to 2e-4, which is the equivalence that matters.
-    for k in ref_opt.m:
-        np.testing.assert_allclose(np.asarray(new_opt.m[k]),
-                                   np.asarray(ref_opt.m[k]),
-                                   rtol=1e-2, atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(np.asarray(new_opt.m),
+                               np.asarray(ref_opt.m),
+                               rtol=1e-2, atol=1e-6)
 
 
 @pytest.mark.slow

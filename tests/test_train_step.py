@@ -8,7 +8,7 @@ import numpy as np
 from webdgs_tpu.config import RenderSettings
 from webdgs_tpu.core.camera import default_camera
 from webdgs_tpu.ops.adam import (AdamHyperparameters, adam_step,
-                                 init_adam_state)
+                                 init_adam_state, unpack_rows)
 from webdgs_tpu.ops.loss import LossConfig, pixel_loss_gradient, ssim_map
 from webdgs_tpu.render.renderer import render
 from webdgs_tpu.train.step import train_step
@@ -43,7 +43,7 @@ def test_adam_reference_semantics():
         np.testing.assert_array_equal(
             np.asarray(new_params[k])[~vis], np.asarray(params[k])[~vis])
         np.testing.assert_array_equal(
-            np.asarray(new_state.m[k])[~vis], 0.0)
+            np.asarray(unpack_rows(new_state.m)[k])[~vis], 0.0)
 
     # no bias correction: first visible step is -lr * g' / (sqrt(g'^2 * (1-b2)) ...)
     g = np.asarray(grads["means"])[vis]

@@ -16,9 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from webdgs_tpu.core.scene import GaussianScene
-from webdgs_tpu.ops.adam import AdamState
+from webdgs_tpu.ops.adam import AdamState, pack_rows
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 def save_checkpoint(path: str | os.PathLike, scene: GaussianScene,
@@ -36,10 +36,8 @@ def save_checkpoint(path: str | os.PathLike, scene: GaussianScene,
     meta = {"version": FORMAT_VERSION, "sh_deg": scene.sh_deg,
             "iteration": iteration, "extra": extra or {}}
     if opt_state is not None:
-        for k, v in opt_state.m.items():
-            arrays[f"adam_m_{k}"] = np.asarray(v)
-        for k, v in opt_state.v.items():
-            arrays[f"adam_v_{k}"] = np.asarray(v)
+        arrays["adam_m_packed"] = np.asarray(opt_state.m)
+        arrays["adam_v_packed"] = np.asarray(opt_state.v)
         meta["adam_iteration"] = int(opt_state.iteration)
     arrays["_meta"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8)
@@ -60,11 +58,20 @@ def load_checkpoint(path: str | os.PathLike):
             sh_deg=int(meta["sh_deg"]),
         )
         opt_state = None
-        if "adam_m_means" in z:
+        if "adam_m_packed" in z:
+            opt_state = AdamState(
+                m=jnp.asarray(z["adam_m_packed"]),
+                v=jnp.asarray(z["adam_v_packed"]),
+                iteration=jnp.int32(meta.get("adam_iteration", 0)),
+            )
+        elif "adam_m_means" in z:
+            # version-1 checkpoints stored per-leaf moments; pack on load
             keys = ["means", "quats", "log_scales", "opacity_logits", "sh"]
             opt_state = AdamState(
-                m={k: jnp.asarray(z[f"adam_m_{k}"]) for k in keys},
-                v={k: jnp.asarray(z[f"adam_v_{k}"]) for k in keys},
+                m=pack_rows({k: jnp.asarray(z[f"adam_m_{k}"])
+                             for k in keys}),
+                v=pack_rows({k: jnp.asarray(z[f"adam_v_{k}"])
+                             for k in keys}),
                 iteration=jnp.int32(meta.get("adam_iteration", 0)),
             )
     return scene, opt_state, meta

@@ -39,9 +39,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from webdgs_tpu.core.scene import GaussianScene
-from webdgs_tpu.ops.adam import AdamState
+from webdgs_tpu.ops.adam import _OPACITY_LANE, PACK_DIM, AdamState
 from webdgs_tpu.train.config import DensifyPruneConfig
 
 OPACITY_MAX = 0.8
@@ -178,20 +179,16 @@ def compact_transform(params: dict, opt_state: AdamState, counts, actions,
         valid_out.reshape((-1,) + (1,) * (v.ndim - 1)), v,
         jnp.zeros_like(v)) for k, v in new_params.items()}
 
-    # Adam moments: gathered, reset for new slots; opacity always resets
+    # Adam moments: one (N, 59) gather, reset for new slots; the opacity
+    # lane always resets (reference quirk,
+    # densify-prune-scatter-opt-float.wgsl:33-41)
     is_new = is_clone_child | is_split
+    reset = (is_new | (~valid_out))[:, None]
+    lane_keep = jnp.asarray(
+        np.arange(PACK_DIM) != _OPACITY_LANE, jnp.float32)[None, :]
 
-    def move_state(tree):
-        out = {}
-        for k, v in tree.items():
-            g = v[src]
-            reset = is_new | (~valid_out)
-            if k == "opacity_logits":
-                reset = jnp.ones_like(reset)  # reference quirk: always reset
-            out[k] = jnp.where(
-                reset.reshape((-1,) + (1,) * (g.ndim - 1)),
-                jnp.zeros_like(g), g)
-        return out
+    def move_state(arr):
+        return jnp.where(reset, 0.0, arr[src]) * lane_keep
 
     new_opt = AdamState(m=move_state(opt_state.m), v=move_state(opt_state.v),
                         iteration=opt_state.iteration)

@@ -346,10 +346,8 @@ class GsTrainer(Trainer):
                 pad = new_cap - self.scene.capacity
                 self.scene = self.scene.pad_to(new_cap)
                 self.opt_state = AdamState(
-                    m={k: jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
-                       for k, v in self.opt_state.m.items()},
-                    v={k: jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
-                       for k, v in self.opt_state.v.items()},
+                    m=jnp.pad(self.opt_state.m, [(0, pad), (0, 0)]),
+                    v=jnp.pad(self.opt_state.v, [(0, pad), (0, 0)]),
                     iteration=self.opt_state.iteration)
                 self._place()
 

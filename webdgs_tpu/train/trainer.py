@@ -301,10 +301,8 @@ class Trainer:
                 pad = new_cap - self.scene.capacity
                 self.scene = self.scene.pad_to(new_cap)
                 self.opt_state = AdamState(
-                    m={k: jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
-                       for k, v in self.opt_state.m.items()},
-                    v={k: jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
-                       for k, v in self.opt_state.v.items()},
+                    m=jnp.pad(self.opt_state.m, [(0, pad), (0, 0)]),
+                    v=jnp.pad(self.opt_state.v, [(0, pad), (0, 0)]),
                     iteration=self.opt_state.iteration)
 
         n_views = min(max(1, cfg.metric_views), g["count"])
@@ -430,13 +428,11 @@ class Trainer:
         cap = self._round(scene.capacity)
         self.scene = scene.pad_to(cap)
         if opt_state is not None:
-            pad = cap - opt_state.m["means"].shape[0]
+            pad = cap - opt_state.m.shape[0]
             if pad > 0:
                 opt_state = AdamState(
-                    m={k: jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
-                       for k, v in opt_state.m.items()},
-                    v={k: jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
-                       for k, v in opt_state.v.items()},
+                    m=jnp.pad(opt_state.m, [(0, pad), (0, 0)]),
+                    v=jnp.pad(opt_state.v, [(0, pad), (0, 0)]),
                     iteration=opt_state.iteration)
             self.opt_state = opt_state
         else:
