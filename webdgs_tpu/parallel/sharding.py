@@ -37,7 +37,9 @@ from webdgs_tpu.ops import rasterize as raster_ops
 from webdgs_tpu.ops.adam import AdamHyperparameters, AdamState, adam_step
 from webdgs_tpu.ops.loss import LossConfig, loss_metrics
 from webdgs_tpu.ops.projection import SplatAux, project_gaussians
-from webdgs_tpu.train.step import compute_param_grads
+from webdgs_tpu.ops.tile_loss import supports_tile_loss
+from webdgs_tpu.train.step import (compute_param_grads,
+                                   compute_param_grads_tiled)
 
 
 def make_mesh(devices=None, axis_name: str = "dp") -> Mesh:
@@ -81,12 +83,18 @@ def dp_train_step(scene: GaussianScene, opt_state: AdamState,
         def body(carry, inputs):
             grads_acc, counts_acc, sums, maxes = carry
             cam, target = inputs
-            image, d_params, aux = compute_param_grads(
-                scene_r, cam, target, img_w, img_h, loss_cfg, settings,
-                parity_sh=not hp.full_sh, entry_capacity=entry_capacity)
+            if supports_tile_loss(img_w, img_h, settings):
+                m, d_params, aux = compute_param_grads_tiled(
+                    scene_r, cam, target, img_w, img_h, loss_cfg, settings,
+                    parity_sh=not hp.full_sh, entry_capacity=entry_capacity)
+            else:
+                image, d_params, aux = compute_param_grads(
+                    scene_r, cam, target, img_w, img_h, loss_cfg, settings,
+                    parity_sh=not hp.full_sh,
+                    entry_capacity=entry_capacity)
+                m = loss_metrics(image, target, loss_cfg)
             grads_acc = jax.tree.map(jnp.add, grads_acc, d_params)
             counts_acc = counts_acc + aux.num_tiles
-            m = loss_metrics(image, target, loss_cfg)
             sums = {k: sums[k] + m[k] for k in sums}
             maxes = {
                 "visible": jnp.maximum(

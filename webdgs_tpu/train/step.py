@@ -77,18 +77,56 @@ def compute_param_grads(scene: GaussianScene, camera: Camera,
     (d_attrs,) = vjp_raster(pgrad)
     (d_params,) = vjp_proj(d_attrs)
 
+    # Q2 SH routing + screen-radius-cap guard (tiled-backward.wgsl:261-283)
+    d_params = _apply_grad_parity(d_params, d_attrs, aux, params, parity_sh)
+    return image, d_params, aux
+
+
+def _apply_grad_parity(d_params, d_attrs, aux, params, parity_sh):
+    """The two post-VJP parity adjustments shared by both loss paths."""
     if parity_sh:
         # Q2: route raw dL/dcolor straight into the DC coefficient
         d_sh = jnp.zeros_like(params["sh"]).at[:, 0, :].set(d_attrs.color)
         d_params = {**d_params, "sh": d_sh}
-
-    # screen-radius-cap guard (tiled-backward.wgsl:261-283): capped splats
-    # may only shrink
     g_ls = d_params["log_scales"]
-    d_params = {**d_params, "log_scales": jnp.where(
+    return {**d_params, "log_scales": jnp.where(
         aux.radius_capped[:, None], jnp.maximum(g_ls, 0.0), g_ls)}
 
-    return image, d_params, aux
+
+def compute_param_grads_tiled(scene: GaussianScene, camera: Camera,
+                              target: jax.Array, img_w: int, img_h: int,
+                              loss_cfg: LossConfig,
+                              settings: RenderSettings, parity_sh: bool,
+                              entry_capacity: int | None = None):
+    """Gradient path with the tile-space loss kernel: the loss cotangent is
+    computed directly on the rasterizer's (T, P, 8) tile buffer (neighbor
+    halos via the kernel), so no image assembly, no re-tile transpose, and
+    one SSIM pass total.  Returns (metrics, param grads dict, aux)."""
+    from webdgs_tpu.ops.tile_loss import tile_loss_gradient
+
+    params = scene.params()
+
+    def proj_fn(p):
+        attrs, aux = project_gaussians(p, scene.alive, camera, img_w, img_h,
+                                       scene.sh_deg, settings,
+                                       detach_color=parity_sh)
+        return attrs, aux
+
+    attrs, vjp_proj, aux = jax.vjp(proj_fn, params, has_aux=True)
+    ntx, nty = binning_ops.tile_grid(img_w, img_h, settings)
+
+    def tiles_fn(a):
+        out, _ = render_from_attrs(a, aux, img_w, img_h, settings,
+                                   entry_capacity, for_grad=True)
+        return out
+
+    out, vjp_raster = jax.vjp(tiles_fn, attrs)
+    dpix, metrics = tile_loss_gradient(out, target, img_w, img_h, ntx, nty,
+                                       loss_cfg, settings)
+    (d_attrs,) = vjp_raster(dpix)
+    (d_params,) = vjp_proj(d_attrs)
+    d_params = _apply_grad_parity(d_params, d_attrs, aux, params, parity_sh)
+    return metrics, d_params, aux
 
 
 @functools.partial(
@@ -101,13 +139,20 @@ def train_step(scene: GaussianScene, opt_state: AdamState, camera: Camera,
                hp: AdamHyperparameters = AdamHyperparameters(),
                settings: RenderSettings = DEFAULT_SETTINGS,
                entry_capacity: int | None = None) -> TrainStepResult:
-    image, d_params, aux = compute_param_grads(
-        scene, camera, target, img_w, img_h, loss_cfg, settings,
-        parity_sh=not hp.full_sh, entry_capacity=entry_capacity)
+    from webdgs_tpu.ops.tile_loss import supports_tile_loss
+
+    if supports_tile_loss(img_w, img_h, settings):
+        metrics, d_params, aux = compute_param_grads_tiled(
+            scene, camera, target, img_w, img_h, loss_cfg, settings,
+            parity_sh=not hp.full_sh, entry_capacity=entry_capacity)
+    else:
+        image, d_params, aux = compute_param_grads(
+            scene, camera, target, img_w, img_h, loss_cfg, settings,
+            parity_sh=not hp.full_sh, entry_capacity=entry_capacity)
+        metrics = loss_metrics(image, target, loss_cfg)
 
     new_params, new_opt = adam_step(scene.params(), d_params, opt_state, hp,
                                     aux.num_tiles)
-    metrics = loss_metrics(image, target, loss_cfg)
     # the reference's pipeline-stats counters (update-stats.wgsl,
     # tiled-forward.wgsl:292): visible splats + total tile entries
     metrics["visible"] = jnp.sum(aux.visible.astype(jnp.int32))
