@@ -75,6 +75,13 @@ class RenderSettings:
     # The compositing prefix always uses the exact hi+lo split (the 0/1
     # triangle factor is exact in bf16, so 2 passes suffice there).
     matmul_precision: str = "bf16x3"
+    # Exchange packed entry rows as f16 over ICI in the gaussian-sharded
+    # paths (halves all_to_all bytes: 32B -> 16B per entry + 4B key).
+    # Centers are encoded tile-relative before the cast so the f16 mantissa
+    # covers sub-pixel detail at any frame size — the same f16 class the
+    # reference stores ALL its splat attributes in
+    # (src/utils/load-pointcloud.ts:5-12, update-gaussians.wgsl).
+    exchange_f16: bool = True
 
     @property
     def tile_px(self) -> int:

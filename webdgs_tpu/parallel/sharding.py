@@ -35,7 +35,7 @@ from webdgs_tpu.core.scene import GaussianScene
 from webdgs_tpu.ops import binning as binning_ops
 from webdgs_tpu.ops import rasterize as raster_ops
 from webdgs_tpu.ops.adam import AdamHyperparameters, AdamState, adam_step
-from webdgs_tpu.ops.loss import LossConfig, loss_metrics
+from webdgs_tpu.ops.loss import LossConfig, loss_metrics, ssim_map
 from webdgs_tpu.ops.projection import SplatAux, project_gaussians
 from webdgs_tpu.ops.tile_loss import supports_tile_loss
 from webdgs_tpu.train.step import (compute_param_grads,
@@ -277,6 +277,8 @@ def render_gaussian_sharded(scene: GaussianScene, camera: Camera,
         send_keys = jnp.where(s_valid, skey[src], jnp.uint32(0xFFFFFFFF))
         per_g = raster_ops._pack_per_gauss(attrs)  # (n_loc, 16)
         send_rows = jnp.where(s_valid[:, None], per_g[sg[src]], 0.0)
+        send_rows = _encode_exchange(send_rows, send_keys, s_valid, ntx,
+                                     settings)
 
         keys_r = jax.lax.all_to_all(
             send_keys.reshape(d, s_cap), axis, 0, 0).reshape(recv)
@@ -302,11 +304,9 @@ def render_gaussian_sharded(scene: GaussianScene, camera: Camera,
             tile_offsets, aligned_off, unaligned_off, tile_counts, a_cap,
             chunk, band_tiles, recv)
 
-        entry_rows = jnp.where(valid2[:, None], rows_r[perm[src2]], 0.0)
-        # shift centers into band pixel coordinates (row 1 = center_y)
         shift = (b * rows * settings.tile_h).astype(jnp.float32)
-        entry_rows = entry_rows.at[:, 1].add(
-            jnp.where(valid2, -shift, 0.0))
+        entry_rows = _decode_exchange(rows_r[perm[src2]], mkey[src2],
+                                      valid2, ntx, shift, settings)
         attrs16 = entry_rows.T
 
         out = raster_ops.rasterize_tiles(attrs16, tile_offsets, ntx, rows,
@@ -322,6 +322,47 @@ def render_gaussian_sharded(scene: GaussianScene, camera: Camera,
         img = jax.device_get(img)
         return img[:img_h], dropped
     return img, dropped
+
+
+def _tile_origins(keys: jax.Array, ntx: int, settings: RenderSettings):
+    """(x0, y0) pixel origin of each entry's GLOBAL tile (from the sort
+    key's tile field, key >> 16)."""
+    tile = (keys >> 16).astype(jnp.int32)
+    tx0 = ((tile % ntx) * settings.tile_w).astype(jnp.float32)
+    ty0 = ((tile // ntx) * settings.tile_h).astype(jnp.float32)
+    return tx0, ty0
+
+
+def _encode_exchange(rows: jax.Array, keys: jax.Array, valid: jax.Array,
+                     ntx: int, settings: RenderSettings) -> jax.Array:
+    """Tile-relative f16 encoding of packed entry rows for the ICI
+    exchange (halves all_to_all bytes).  Centers (rows 0/1) are rebased to
+    the entry's tile origin so the f16 mantissa covers sub-pixel detail at
+    any frame size — the f16 class the reference stores all splat
+    attributes in.  No-op (f32 pass-through) unless settings.exchange_f16.
+    """
+    if not settings.exchange_f16:
+        return rows
+    tx0, ty0 = _tile_origins(keys, ntx, settings)
+    rows = rows.at[:, 0].add(jnp.where(valid, -tx0, 0.0))
+    rows = rows.at[:, 1].add(jnp.where(valid, -ty0, 0.0))
+    return rows.astype(jnp.float16)
+
+
+def _decode_exchange(rows: jax.Array, keys: jax.Array, valid: jax.Array,
+                     ntx: int, shift: jax.Array,
+                     settings: RenderSettings) -> jax.Array:
+    """Inverse of :func:`_encode_exchange` for gathered entry rows, folding
+    in the band pixel-space shift (centers come out in BAND coordinates:
+    global y minus ``shift``).  Invalid slots come out all-zero."""
+    rows = jnp.where(valid[:, None], rows.astype(jnp.float32), 0.0)
+    if settings.exchange_f16:
+        tx0, ty0 = _tile_origins(keys, ntx, settings)
+        rows = rows.at[:, 0].add(jnp.where(valid, tx0, 0.0))
+        rows = rows.at[:, 1].add(jnp.where(valid, ty0 - shift, 0.0))
+    else:
+        rows = rows.at[:, 1].add(jnp.where(valid, -shift, 0.0))
+    return rows
 
 
 # ---------------------------------------------------------------------------
@@ -353,8 +394,9 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
     Forward: each device projects/expands its N/D Gaussians and one
     ``all_to_all`` carries packed entry rows to their tile-band owners,
     which rasterize their rows (as in :func:`render_gaussian_sharded`).
-    The per-pixel loss cotangent is computed on the all-gathered frame
-    (DSSIM windows cross band borders) and applied band-locally; the
+    The per-pixel loss cotangent is computed band-locally with a
+    2-pixel-row halo ppermute from the neighbor bands (the 5x5 DSSIM
+    window support) — O(H*W/D) loss work per device; the
     backward pass then flows through the *transpose* of the exchange —
     autodiff of ``all_to_all`` routes every entry cotangent back to the
     device that owns its Gaussian, so parameter gradients, Adam moments,
@@ -363,8 +405,9 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
     free, vs the reference's single-GPU adam.wgsl).
 
     Returns (scene, opt_state, metrics) with the same metrics surface as
-    ``train_step`` (loss/psnr/... computed on the full frame, identical on
-    every device; ``visible``/``tile_entries`` are global psums).
+    ``train_step`` (loss/psnr/... as band partial sums + one psum —
+    identical on every device; ``visible``/``tile_entries`` are global
+    psums).
 
     **2D mesh (dp x band)**: with a two-axis mesh ``Mesh(devs.reshape(V,B),
     ("dp", "band"))``, pass a stacked camera/target batch of V views.  The
@@ -409,7 +452,6 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
     recv = d * s_cap
     a_cap = recv + band_tiles * chunk
 
-    from webdgs_tpu.ops.loss import pixel_loss_gradient
     from webdgs_tpu.ops.projection import project_gaussians as _project
 
     state_specs = AdamState(m=P(axis), v=P(axis), iteration=P())
@@ -471,15 +513,45 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
         # ---- differentiable band render as a function of attrs; the
         # backward all_to_all (autodiff transpose) returns every entry
         # cotangent to its gaussian's owner ----
+        slot_keys = mkey[src2]
+        nr = raster_ops.NUM_ROWS
+
+        # Entry exchange with f16 rows forward (tile-relative centers; the
+        # f16 class the reference stores ALL splat attributes in) and an
+        # EXACT f32 transpose backward.  Cotangents must not round: Adam is
+        # scale-invariant, so entries whose net gradient nearly cancels
+        # would turn f16 rounding into full-step sign flips.  (The forward
+        # rounding is parity-class: the reference's rasterizer reads f16
+        # attributes too.)
+        @jax.custom_vjp
+        def exchange(rows_in):
+            enc = _encode_exchange(rows_in, send_keys, s_valid, ntx,
+                                   settings)
+            rows_r = jax.lax.all_to_all(
+                enc.reshape(d, s_cap, nr), axis, 0, 0).reshape(recv, nr)
+            return _decode_exchange(rows_r[gather_idx], slot_keys, valid2,
+                                    ntx, shift, settings)
+
+        def exchange_fwd(rows_in):
+            return exchange(rows_in), None
+
+        def exchange_bwd(_, g):
+            # exact transpose of mask . decode . a2a . encode . mask (the
+            # encode/decode adds are constants; the f16 casts linearize to
+            # identity): cotangents ride the wire in f32
+            g = jnp.where(valid2[:, None], g, 0.0)
+            back = jnp.zeros((recv, nr), jnp.float32).at[gather_idx].add(g)
+            back = jax.lax.all_to_all(
+                back.reshape(d, s_cap, nr), axis, 0, 0).reshape(
+                d * s_cap, nr)
+            return (jnp.where(s_valid[:, None], back, 0.0),)
+
+        exchange.defvjp(exchange_fwd, exchange_bwd)
+
         def band_img(a):
             per_g = raster_ops._pack_per_gauss(a)  # (n_loc, 16)
             send_rows = jnp.where(s_valid[:, None], per_g[sg_src], 0.0)
-            rows_r = jax.lax.all_to_all(
-                send_rows.reshape(d, s_cap, raster_ops.NUM_ROWS), axis,
-                0, 0).reshape(recv, raster_ops.NUM_ROWS)
-            entry_rows = jnp.where(valid2[:, None], rows_r[gather_idx], 0.0)
-            entry_rows = entry_rows.at[:, 1].add(
-                jnp.where(valid2, -shift, 0.0))
+            entry_rows = exchange(send_rows)
             out = raster_ops.rasterize_tiles(
                 entry_rows.T, tile_offsets, ntx, rows, settings)
             tiles = raster_ops.tiles_to_image(out, ntx, rows, img_w,
@@ -488,18 +560,48 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
 
         band_pred, vjp_raster = jax.vjp(band_img, attrs)
 
-        # full frame for the loss cotangent + metrics (DSSIM windows cross
-        # band borders); identical on every device
-        pred_pad = jax.lax.all_gather(band_pred, axis).reshape(
-            nty_pad * settings.tile_h, img_w, 3)
-        pred = pred_pad[:img_h]
-        pgrad = pixel_loss_gradient(pred, tgt, loss_cfg)
-        pgrad_pad = jnp.zeros((nty_pad * settings.tile_h, img_w, 3),
-                              jnp.float32).at[:img_h].set(pgrad)
-        pgrad_band = jax.lax.dynamic_slice_in_dim(
-            pgrad_pad, b * band_h, band_h, axis=0)
+        # ---- band-local loss with a 2-pixel-row halo exchange (the 5x5
+        # DSSIM window support) instead of replicating the full frame:
+        # O(H*W/D) loss work + two 2-row ppermutes, vs the previous
+        # all_gather + identical O(H*W) SSIM on every device ----
+        perm_up = [(i, (i + 1) % d) for i in range(d)]
+        perm_dn = [(i, (i - 1) % d) for i in range(d)]
+        halo_above = jax.lax.ppermute(band_pred[-2:], axis, perm_up)
+        halo_below = jax.lax.ppermute(band_pred[:2], axis, perm_dn)
+        ext = jnp.concatenate([halo_above, band_pred, halo_below], axis=0)
+        # edge replication + img_h crop exactly like the full-frame oracle:
+        # global row of ext slot i is y0-2+i; clamp into [0, img_h) and
+        # re-index locally (wrap-around halo rows at the frame borders are
+        # clamped away before they are ever read)
+        y0 = b * band_h
+        yy = jnp.arange(band_h + 4) + y0 - 2
+        loc = jnp.clip(jnp.clip(yy, 0, img_h - 1) - (y0 - 2), 0,
+                       band_h + 3)
+        pred_ext = ext[loc]
+        tgt_ext = tgt[jnp.clip(yy, 0, img_h - 1)]
+
+        sm_ext = ssim_map(pred_ext, tgt_ext, loss_cfg.c1, loss_cfg.c2)
+        diff_ext = pred_ext - tgt_ext
+        grad_ext = (loss_cfg.lambda_l1 * jnp.sign(diff_ext)
+                    + loss_cfg.lambda_l2 * diff_ext
+                    + loss_cfg.lambda_dssim * (1.0 - sm_ext) * 0.5
+                    * diff_ext)
+        own = slice(2, 2 + band_h)
+        row_valid = ((jnp.arange(band_h) + y0) < img_h)[:, None, None]
+        pgrad_band = jnp.where(row_valid, grad_ext[own], 0.0)
         (d_attrs,) = vjp_raster(pgrad_band)
         (d_params,) = vjp_proj(d_attrs)
+
+        # band partial sums -> full-frame scalar metrics (one psum)
+        dv = jnp.where(row_valid, diff_ext[own], 0.0)
+        ds_own = jnp.where(row_valid, (1.0 - sm_ext[own]) * 0.5, 0.0)
+        parts = jax.lax.psum(
+            jnp.stack([jnp.sum(jnp.abs(dv)), jnp.sum(dv * dv),
+                       jnp.sum(ds_own)]), axis)
+        n_el = float(img_h * img_w * 3)
+        l1 = parts[0] / n_el
+        l2 = parts[1] / n_el
+        dssim = parts[2] / n_el
 
         if parity_sh:
             # Q2 routing: raw dL/dcolor into the DC coefficient
@@ -520,7 +622,14 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
 
         new_params, new_opt = adam_step(params_l, d_params, opt_l, hp,
                                         counts)
-        metrics = loss_metrics(pred, tgt, loss_cfg)
+        metrics = {
+            "l1": l1,
+            "l2": l2,
+            "dssim": dssim,
+            "loss": (loss_cfg.lambda_l1 * l1 + loss_cfg.lambda_l2 * l2
+                     + loss_cfg.lambda_dssim * dssim),
+            "psnr": -10.0 * jnp.log10(jnp.maximum(l2, 1e-12)),
+        }
         # per-view totals first (sum the band shards), then reduce views
         visible = jax.lax.psum(jnp.sum(aux.visible.astype(jnp.int32)), axis)
         entries = jax.lax.psum(jnp.sum(aux.num_tiles), axis)
