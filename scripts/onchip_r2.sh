@@ -48,12 +48,20 @@ run_train30k() {
         --width 400 --height 300
 }
 
+run_bench_ckpt() {
+    echo "== trained-scene bench (needs ck30k from train30k) =="
+    test -f /tmp/scene1/ck30k.npz || { echo "no checkpoint yet"; return 0; }
+    WEBDGS_BENCH_CHECKPOINT=/tmp/scene1/ck30k.npz timeout 1200 \
+        python bench.py | tee /tmp/bench_r3_trained.json
+}
+
 case "$STAGE" in
     tests) run_tests ;;
     profile) run_profile ;;
     bench) run_bench ;;
     bench1m) run_bench1m ;;
     train30k) run_train30k ;;
+    benchckpt) run_bench_ckpt ;;
     all)
         # Cheapest, highest-value first: windows can be ~26 min total.
         # Non-fatal sequencing; report every rc at the end.
@@ -62,6 +70,7 @@ case "$STAGE" in
         run_tests;   rc_tests=$?
         run_bench1m; rc_1m=$?
         run_train30k; rc_30k=$?
+        run_bench_ckpt
         echo "RCs: bench=$rc_bench profile=$rc_profile tests=$rc_tests bench1m=$rc_1m train30k=$rc_30k"
         exit $(( rc_bench | rc_profile | rc_tests ))
         ;;
