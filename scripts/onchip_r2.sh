@@ -39,11 +39,15 @@ run_train30k() {
     echo "== 30k real-format dataset run =="
     test -d /tmp/scene1/sparse || python scripts/make_synthetic_colmap.py \
         /tmp/scene1 --views 48 --width 400 --height 300
+    # resume from the periodic checkpoint if a previous window got partway
+    RESUME=""
+    test -f /tmp/scene1/ck30k.npz && RESUME="--resume /tmp/scene1/ck30k.npz"
     timeout 7200 python -m webdgs_tpu.cli train \
         --points /tmp/scene1/sparse/0/points3D.bin \
         --cameras /tmp/scene1/sparse/0/images.bin /tmp/scene1/sparse/0/cameras.bin \
         --images /tmp/scene1/images \
         --iterations 30000 --log-every 1000 --holdout-every 8 \
+        --checkpoint-every 2000 $RESUME \
         --out /tmp/scene1/ck30k.npz --export-ply /tmp/scene1/trained30k.ply \
         --width 400 --height 300
 }

@@ -433,3 +433,47 @@ def test_nan_detected_within_log_every():
     assert rb and rb[0].startswith("iter 4:")
     # the rollback restored the pre-poison snapshot
     assert np.isfinite(np.asarray(tr.scene.means)).all()
+
+
+@pytest.mark.slow
+def test_cli_train_shard_modes(tmp_path):
+    """`train --shard dp|gs` wires the mesh trainers through the CLI: both
+    modes run a few iterations on the 8-device CPU mesh and write a loadable
+    checkpoint (the dp path batches one view per device; the gs path is the
+    fully-sharded BASELINE config-5 step)."""
+    from webdgs_tpu.config import RenderSettings
+    from webdgs_tpu.core.camera import default_camera
+    from webdgs_tpu.io.checkpoint import load_checkpoint
+    from webdgs_tpu.render.renderer import render
+
+    w = h = 32
+    gt = random_scene(10, seed=52)
+    gt = gt.replace(opacity_logits=gt.opacity_logits + 2.0)
+    settings = RenderSettings(chunk=128)
+
+    img_dir = tmp_path / "images"
+    os.makedirs(img_dir)
+    cams_json = []
+    fy = 0.5 * h / np.tan(np.radians(45.0) / 2)
+    for i, pos in enumerate([(0, 0, -5.0), (0.3, 0, -5.0)]):
+        cam = default_camera(w, h, position=pos)
+        img = np.asarray(render(gt, cam, w, h, settings).image)
+        save_png(img_dir / f"v{i}.png", img)
+        cams_json.append({
+            "id": i, "img_name": f"v{i}.png", "width": w, "height": h,
+            "position": list(pos),
+            "rotation": np.eye(3).tolist(), "fx": fy, "fy": fy})
+    cam_file = tmp_path / "cameras.json"
+    cam_file.write_text(json.dumps(cams_json))
+    ply = tmp_path / "init.ply"
+    save_ply(random_scene(8, seed=53), ply)
+
+    for mode in ("dp", "gs"):
+        ckpt = tmp_path / f"ck_{mode}.npz"
+        cli_main(["train", "--points", str(ply), "--cameras", str(cam_file),
+                  "--images", str(img_dir), "--iterations", "2",
+                  "--no-densify", "--shard", mode, "--out", str(ckpt),
+                  "--width", "32", "--height", "32", "--log-every", "1"])
+        scene, _, meta = load_checkpoint(ckpt)
+        assert meta.get("iteration") == 2
+        assert np.isfinite(np.asarray(scene.means)).all()

@@ -120,3 +120,54 @@ def test_train_step_tile_path_matches_image_path():
         np.testing.assert_allclose(float(res.metrics[k]),
                                    float(ref_metrics[k]), rtol=1e-5,
                                    err_msg=k)
+
+
+def test_band_tile_loss_matches_full():
+    """Band-sharded tile loss (halo tile rows from the vertical neighbors)
+    must reproduce the full-frame kernel bit for bit on every band —
+    including a ragged bottom edge and garbage halos at the frame borders
+    (the clamped selects must never read them)."""
+    from webdgs_tpu.ops.tile_loss import band_tile_loss_gradient
+
+    cfg = LossConfig()
+    img_w, img_h = 70, 52
+    ntx = -(-img_w // SETTINGS.tile_w)   # 5
+    nty = -(-img_h // SETTINGS.tile_h)   # 4
+    d, rows = 4, 1
+    assert nty == d * rows
+
+    rng = np.random.default_rng(17)
+    n_tiles = ntx * nty
+    out = np.zeros((n_tiles, SETTINGS.tile_px, raster_ops.NUM_OUT),
+                   np.float32)
+    out[:, :, 0:3] = rng.random((n_tiles, SETTINGS.tile_px, 3)) * 0.9
+    out[:, :, raster_ops.OUT_T] = rng.random((n_tiles, SETTINGS.tile_px))
+    target = rng.random((img_h, img_w, 3)).astype(np.float32)
+    out = jnp.asarray(out)
+    target = jnp.asarray(target)
+
+    dpix_full, met_full = tile_loss_gradient(out, target, img_w, img_h,
+                                             ntx, nty, cfg, SETTINGS)
+
+    garbage = jnp.asarray(
+        rng.random((ntx, SETTINGS.tile_px, raster_ops.NUM_OUT)) * 5.0,
+        jnp.float32)
+    dpix_bands, sums_bands = [], []
+    for b in range(d):
+        lo, hi = b * rows * ntx, (b + 1) * rows * ntx
+        halo_top = out[lo - ntx:lo] if b > 0 else garbage
+        halo_bot = out[hi:hi + ntx] if b < d - 1 else garbage
+        dpix_b, sums_b = band_tile_loss_gradient(
+            out[lo:hi], halo_top, halo_bot, target,
+            jnp.int32(b * rows), img_w, img_h, ntx, rows, cfg, SETTINGS)
+        dpix_bands.append(np.asarray(dpix_b))
+        sums_bands.append(np.asarray(sums_b))
+
+    np.testing.assert_array_equal(
+        np.concatenate(dpix_bands, axis=0), np.asarray(dpix_full))
+    from webdgs_tpu.ops.tile_loss import metrics_from_sums
+    tot = jnp.asarray(np.concatenate(sums_bands, axis=0).sum(axis=0))
+    met = metrics_from_sums(tot, cfg)
+    for k in ("l1", "l2", "dssim", "loss", "psnr"):
+        np.testing.assert_allclose(float(met[k]), float(met_full[k]),
+                                   rtol=1e-6, err_msg=k)

@@ -42,6 +42,12 @@ def _add_train_args(t, required: bool):
     t.add_argument("--holdout-every", type=int, default=0,
                    help="hold out every k-th view for evaluation (3DGS "
                    "convention: 8); 0 trains on everything")
+    t.add_argument("--shard", choices=("none", "dp", "gs"), default="none",
+                   help="multi-chip training over all visible devices: "
+                   "dp = view-data-parallel (scene replicated, gradients "
+                   "psum over ICI); gs = fully sharded (scene + optimizer "
+                   "on the gaussian axis with entry exchange — BASELINE "
+                   "config 5). 'none' trains single-device")
     # loss (trainer.ts:100-104)
     t.add_argument("--lambda-l1", type=float, default=0.8)
     t.add_argument("--lambda-l2", type=float, default=0.0)
@@ -167,7 +173,22 @@ def _build_trainer(args):
         from webdgs_tpu.train.config import load_trainer_config
         cfg = load_trainer_config(args.config, base=cfg)
 
-    trainer = Trainer(scene, cameras, images, cfg, _settings(args))
+    shard = getattr(args, "shard", "none")
+    if shard == "none":
+        trainer = Trainer(scene, cameras, images, cfg, _settings(args))
+    else:
+        from webdgs_tpu.parallel.sharding import make_mesh
+        if shard == "dp":
+            mesh = make_mesh(axis_name="dp")
+            print(f"sharding 'dp' over {mesh.devices.size} device(s)")
+            trainer = Trainer(scene, cameras, images, cfg, _settings(args),
+                              mesh=mesh)
+        else:
+            from webdgs_tpu.parallel.gs_trainer import GsTrainer
+            mesh = make_mesh(axis_name="band")
+            print(f"sharding 'gs' over {mesh.devices.size} device(s)")
+            trainer = GsTrainer(scene, cameras, images, cfg,
+                                _settings(args), mesh=mesh)
     if args.resume:
         from webdgs_tpu.io.checkpoint import load_checkpoint
         ck_scene, ck_opt, meta = load_checkpoint(args.resume)

@@ -79,7 +79,7 @@ def _box(x: jax.Array, th: int, tw: int):
     return s
 
 
-def _loss_kernel(cl_ref, cc_ref, cr_ref, ul_ref, uc_ref, ur_ref,
+def _loss_kernel(rb_ref, cl_ref, cc_ref, cr_ref, ul_ref, uc_ref, ur_ref,
                  dl_ref, dc_ref, dr_ref, target_ref, dpix_ref, sums_ref,
                  tscr, tsem, *, ntx: int, nty: int, img_w: int, img_h: int,
                  cfg: LossConfig, settings: RenderSettings):
@@ -87,7 +87,11 @@ def _loss_kernel(cl_ref, cc_ref, cr_ref, ul_ref, uc_ref, ur_ref,
     hh, hw = th + 2 * HALF, tw + 2 * HALF
     t = pl.program_id(0)
     tx = t % ntx
-    ty = t // ntx
+    # rb_ref: global tile-row base of this buffer (0 for a full frame; the
+    # band's first tile row in the band-sharded path, a traced per-device
+    # scalar) — only the kernel body needs globals (clamps, valid mask,
+    # target window); the block index maps stay local to the buffer
+    ty = rb_ref[0] + t // ntx
     x0 = tx * tw
     y0 = ty * th
     bg = settings.background
@@ -222,6 +226,7 @@ def tile_loss_gradient(out: jax.Array, target: jax.Array, img_w: int,
                                        lambda t: (f(t), blk, 0))
 
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),  # row base (1,)
         full(row(0)), full(row(1)), full(row(2)),
         edge(vrow(-1, 0), n_blk - 1), edge(vrow(-1, 1), n_blk - 1),
         edge(vrow(-1, 2), n_blk - 1),
@@ -249,14 +254,20 @@ def tile_loss_gradient(out: jax.Array, target: jax.Array, img_w: int,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=use_interpret_mode(),
-    )(out, out, out, out, out, out, out, out, out, target)
+    )(jnp.zeros((1,), jnp.int32), out, out, out, out, out, out, out, out,
+      out, target)
 
-    tot = jnp.sum(sums, axis=0)
+    return dpix, metrics_from_sums(jnp.sum(sums, axis=0), cfg)
+
+
+def metrics_from_sums(tot: jax.Array, cfg: LossConfig) -> dict:
+    """Scalar metrics (the ``loss_metrics`` keys) from summed per-tile
+    partials ``[sum|diff|, sum diff^2, sum dssim, valid px, 0...]``."""
     n = jnp.maximum(tot[3] * 3.0, 1.0)
     l1 = tot[0] / n
     l2 = tot[1] / n
     dssim = tot[2] / n
-    metrics = {
+    return {
         "l1": l1,
         "l2": l2,
         "dssim": dssim,
@@ -264,4 +275,89 @@ def tile_loss_gradient(out: jax.Array, target: jax.Array, img_w: int,
                  + cfg.lambda_dssim * dssim),
         "psnr": -10.0 * jnp.log10(jnp.maximum(l2, 1e-12)),
     }
-    return dpix, metrics
+
+
+def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
+                            halo_bot: jax.Array, target: jax.Array,
+                            row_base: jax.Array, img_w: int, img_h: int,
+                            ntx: int, rows: int, cfg: LossConfig,
+                            settings: RenderSettings):
+    """Band-sharded variant: pixel cotangent for ONE device's band of tile
+    rows, given the vertically adjacent tile rows from the neighbor bands.
+
+    out: (rows*ntx, P, NUM_OUT) this band's rasterizer tiles; halo_top /
+    halo_bot: (ntx, P, NUM_OUT) — the band above's LAST and the band
+    below's FIRST tile row (ppermuted over the band axis by the caller;
+    only their 2-pixel boundary blocks are read).  ``row_base``: global
+    tile row of ``out``'s first row — a traced per-device scalar (enters
+    the kernel through SMEM; block index maps stay band-local).
+
+    At frame borders the halo CONTENT is never read: the kernel's
+    edge-clamped selects (the reference's clamped textureLoad,
+    loss.wgsl:20-28) only index rows inside [0, img_h), so the wrap-around
+    rows a circular ppermute delivers to bands 0 and D-1 are harmless.
+    Rows of padding bands beyond the frame produce zero gradient and zero
+    metric sums (their valid mask is empty).
+
+    Returns (dpix (rows*ntx, P, NUM_OUT), sums (rows*ntx, 8) per-tile
+    metric partials — psum ``sums.sum(0)`` over the band axis and feed
+    :func:`metrics_from_sums`).
+    """
+    th, tw = settings.tile_h, settings.tile_w
+    p_px = settings.tile_px
+    band_tiles = rows * ntx
+    ext = jnp.concatenate([halo_top, out, halo_bot], axis=0)
+
+    def row(b):
+        # same local tile row inside ext (offset by the halo row)
+        def f(t):
+            tx = t % ntx
+            return ntx + t - tx + jnp.clip(tx - 1, 0, ntx - 3) + b
+        return f
+
+    def vrow(dy, b):
+        # vertical neighbor inside ext: local row ty+dy+1 is always in
+        # [0, rows+1] — the halos ARE the clamp
+        def f(t):
+            tx = t % ntx
+            return ((t // ntx + dy + 1) * ntx
+                    + jnp.clip(tx - 1, 0, ntx - 3) + b)
+        return f
+
+    full = lambda f: pl.BlockSpec((1, p_px, NUM_OUT),
+                                  lambda t: (f(t), 0, 0))
+    n_blk = p_px // (HALF * tw)
+    edge = lambda f, blk: pl.BlockSpec((1, HALF * tw, NUM_OUT),
+                                       lambda t: (f(t), blk, 0))
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
+        full(row(0)), full(row(1)), full(row(2)),
+        edge(vrow(-1, 0), n_blk - 1), edge(vrow(-1, 1), n_blk - 1),
+        edge(vrow(-1, 2), n_blk - 1),
+        edge(vrow(1, 0), 0), edge(vrow(1, 1), 0), edge(vrow(1, 2), 0),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, p_px, NUM_OUT), lambda t: (t, 0, 0)),
+        pl.BlockSpec((1, 8), lambda t: (t, 0)),
+    ]
+    kernel = functools.partial(
+        _loss_kernel, ntx=ntx, nty=rows, img_w=img_w, img_h=img_h,
+        cfg=cfg, settings=settings)
+    dpix, sums = pl.pallas_call(
+        kernel,
+        grid=(band_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((band_tiles, p_px, NUM_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((band_tiles, 8), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * HALF, tw + 2 * HALF, 3), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=use_interpret_mode(),
+    )(row_base.reshape(1).astype(jnp.int32), ext, ext, ext, ext, ext, ext,
+      ext, ext, ext, target)
+    return dpix, sums

@@ -548,60 +548,91 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
 
         exchange.defvjp(exchange_fwd, exchange_bwd)
 
-        def band_img(a):
-            per_g = raster_ops._pack_per_gauss(a)  # (n_loc, 16)
-            send_rows = jnp.where(s_valid[:, None], per_g[sg_src], 0.0)
-            entry_rows = exchange(send_rows)
-            out = raster_ops.rasterize_tiles(
-                entry_rows.T, tile_offsets, ntx, rows, settings)
-            tiles = raster_ops.tiles_to_image(out, ntx, rows, img_w,
-                                              band_h, settings)
-            return raster_ops.composite_background(tiles, settings)
-
-        band_pred, vjp_raster = jax.vjp(band_img, attrs)
-
-        # ---- band-local loss with a 2-pixel-row halo exchange (the 5x5
-        # DSSIM window support) instead of replicating the full frame:
-        # O(H*W/D) loss work + two 2-row ppermutes, vs the previous
-        # all_gather + identical O(H*W) SSIM on every device ----
         perm_up = [(i, (i + 1) % d) for i in range(d)]
         perm_dn = [(i, (i - 1) % d) for i in range(d)]
-        halo_above = jax.lax.ppermute(band_pred[-2:], axis, perm_up)
-        halo_below = jax.lax.ppermute(band_pred[:2], axis, perm_dn)
-        ext = jnp.concatenate([halo_above, band_pred, halo_below], axis=0)
-        # edge replication + img_h crop exactly like the full-frame oracle:
-        # global row of ext slot i is y0-2+i; clamp into [0, img_h) and
-        # re-index locally (wrap-around halo rows at the frame borders are
-        # clamped away before they are ever read)
-        y0 = b * band_h
-        yy = jnp.arange(band_h + 4) + y0 - 2
-        loc = jnp.clip(jnp.clip(yy, 0, img_h - 1) - (y0 - 2), 0,
-                       band_h + 3)
-        pred_ext = ext[loc]
-        tgt_ext = tgt[jnp.clip(yy, 0, img_h - 1)]
+        if supports_tile_loss(img_w, img_h, settings):
+            # ---- tile-space band loss: the cotangent is computed directly
+            # on this band's (T, P, 8) tile buffer; the 5x5 DSSIM window
+            # support crosses band borders through ONE ppermuted tile row
+            # per direction.  No band-image assembly, no re-tile transpose,
+            # one SSIM pass — the sharded analogue of the single-device
+            # tiled path (ops/tile_loss.py) ----
+            from webdgs_tpu.ops.tile_loss import (band_tile_loss_gradient,
+                                                  metrics_from_sums)
 
-        sm_ext = ssim_map(pred_ext, tgt_ext, loss_cfg.c1, loss_cfg.c2)
-        diff_ext = pred_ext - tgt_ext
-        grad_ext = (loss_cfg.lambda_l1 * jnp.sign(diff_ext)
-                    + loss_cfg.lambda_l2 * diff_ext
-                    + loss_cfg.lambda_dssim * (1.0 - sm_ext) * 0.5
-                    * diff_ext)
-        own = slice(2, 2 + band_h)
-        row_valid = ((jnp.arange(band_h) + y0) < img_h)[:, None, None]
-        pgrad_band = jnp.where(row_valid, grad_ext[own], 0.0)
-        (d_attrs,) = vjp_raster(pgrad_band)
-        (d_params,) = vjp_proj(d_attrs)
+            def band_tiles_fn(a):
+                per_g = raster_ops._pack_per_gauss(a)  # (n_loc, 16)
+                send_rows = jnp.where(s_valid[:, None], per_g[sg_src], 0.0)
+                entry_rows = exchange(send_rows)
+                return raster_ops.rasterize_tiles(
+                    entry_rows.T, tile_offsets, ntx, rows, settings)
 
-        # band partial sums -> full-frame scalar metrics (one psum)
-        dv = jnp.where(row_valid, diff_ext[own], 0.0)
-        ds_own = jnp.where(row_valid, (1.0 - sm_ext[own]) * 0.5, 0.0)
-        parts = jax.lax.psum(
-            jnp.stack([jnp.sum(jnp.abs(dv)), jnp.sum(dv * dv),
-                       jnp.sum(ds_own)]), axis)
-        n_el = float(img_h * img_w * 3)
-        l1 = parts[0] / n_el
-        l2 = parts[1] / n_el
-        dssim = parts[2] / n_el
+            out, vjp_raster = jax.vjp(band_tiles_fn, attrs)
+            halo_top = jax.lax.ppermute(out[-ntx:], axis, perm_up)
+            halo_bot = jax.lax.ppermute(out[:ntx], axis, perm_dn)
+            dpix, sums = band_tile_loss_gradient(
+                out, halo_top, halo_bot, tgt, b * rows, img_w, img_h,
+                ntx, rows, loss_cfg, settings)
+            (d_attrs,) = vjp_raster(dpix)
+            (d_params,) = vjp_proj(d_attrs)
+            tot = jax.lax.psum(jnp.sum(sums, axis=0), axis)
+            metrics_base = metrics_from_sums(tot, loss_cfg)
+        else:
+            metrics_base = None
+
+            def band_img(a):
+                per_g = raster_ops._pack_per_gauss(a)  # (n_loc, 16)
+                send_rows = jnp.where(s_valid[:, None], per_g[sg_src], 0.0)
+                entry_rows = exchange(send_rows)
+                out = raster_ops.rasterize_tiles(
+                    entry_rows.T, tile_offsets, ntx, rows, settings)
+                tiles = raster_ops.tiles_to_image(out, ntx, rows, img_w,
+                                                  band_h, settings)
+                return raster_ops.composite_background(tiles, settings)
+
+            band_pred, vjp_raster = jax.vjp(band_img, attrs)
+
+            # ---- band-local loss with a 2-pixel-row halo exchange (the
+            # 5x5 DSSIM window support) instead of replicating the full
+            # frame: O(H*W/D) loss work + two 2-row ppermutes, vs a full
+            # all_gather + identical O(H*W) SSIM on every device ----
+            halo_above = jax.lax.ppermute(band_pred[-2:], axis, perm_up)
+            halo_below = jax.lax.ppermute(band_pred[:2], axis, perm_dn)
+            ext = jnp.concatenate([halo_above, band_pred, halo_below],
+                                  axis=0)
+            # edge replication + img_h crop exactly like the full-frame
+            # oracle: global row of ext slot i is y0-2+i; clamp into
+            # [0, img_h) and re-index locally (wrap-around halo rows at the
+            # frame borders are clamped away before they are ever read)
+            y0 = b * band_h
+            yy = jnp.arange(band_h + 4) + y0 - 2
+            loc = jnp.clip(jnp.clip(yy, 0, img_h - 1) - (y0 - 2), 0,
+                           band_h + 3)
+            pred_ext = ext[loc]
+            tgt_ext = tgt[jnp.clip(yy, 0, img_h - 1)]
+
+            sm_ext = ssim_map(pred_ext, tgt_ext, loss_cfg.c1, loss_cfg.c2)
+            diff_ext = pred_ext - tgt_ext
+            grad_ext = (loss_cfg.lambda_l1 * jnp.sign(diff_ext)
+                        + loss_cfg.lambda_l2 * diff_ext
+                        + loss_cfg.lambda_dssim * (1.0 - sm_ext) * 0.5
+                        * diff_ext)
+            own = slice(2, 2 + band_h)
+            row_valid = ((jnp.arange(band_h) + y0) < img_h)[:, None, None]
+            pgrad_band = jnp.where(row_valid, grad_ext[own], 0.0)
+            (d_attrs,) = vjp_raster(pgrad_band)
+            (d_params,) = vjp_proj(d_attrs)
+
+            # band partial sums -> full-frame scalar metrics (one psum)
+            dv = jnp.where(row_valid, diff_ext[own], 0.0)
+            ds_own = jnp.where(row_valid, (1.0 - sm_ext[own]) * 0.5, 0.0)
+            parts = jax.lax.psum(
+                jnp.stack([jnp.sum(jnp.abs(dv)), jnp.sum(dv * dv),
+                           jnp.sum(ds_own)]), axis)
+            n_el = float(img_h * img_w * 3)
+            l1 = parts[0] / n_el
+            l2 = parts[1] / n_el
+            dssim = parts[2] / n_el
 
         if parity_sh:
             # Q2 routing: raw dL/dcolor into the DC coefficient
@@ -622,14 +653,17 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
 
         new_params, new_opt = adam_step(params_l, d_params, opt_l, hp,
                                         counts)
-        metrics = {
-            "l1": l1,
-            "l2": l2,
-            "dssim": dssim,
-            "loss": (loss_cfg.lambda_l1 * l1 + loss_cfg.lambda_l2 * l2
-                     + loss_cfg.lambda_dssim * dssim),
-            "psnr": -10.0 * jnp.log10(jnp.maximum(l2, 1e-12)),
-        }
+        if metrics_base is not None:
+            metrics = dict(metrics_base)
+        else:
+            metrics = {
+                "l1": l1,
+                "l2": l2,
+                "dssim": dssim,
+                "loss": (loss_cfg.lambda_l1 * l1 + loss_cfg.lambda_l2 * l2
+                         + loss_cfg.lambda_dssim * dssim),
+                "psnr": -10.0 * jnp.log10(jnp.maximum(l2, 1e-12)),
+            }
         # per-view totals first (sum the band shards), then reduce views
         visible = jax.lax.psum(jnp.sum(aux.visible.astype(jnp.int32)), axis)
         entries = jax.lax.psum(jnp.sum(aux.num_tiles), axis)
