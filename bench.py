@@ -100,7 +100,16 @@ def main():
             opacity_logits=rng.uniform(-1, 3, (n,)).astype(np.float32),
             colors=rng.uniform(0, 1, (n, 3)).astype(np.float32),
         )
-    settings = RenderSettings(chunk=128)
+    # Sweep hooks (scripts/onchip_r2.sh sweep stage): WEBDGS_BENCH_CHUNK
+    # and WEBDGS_BENCH_TILE=WxH override the kernel tiling so one bench
+    # invocation measures one configuration; the JSON line records them.
+    chunk = int(os.environ.get("WEBDGS_BENCH_CHUNK", "128"))
+    tile = os.environ.get("WEBDGS_BENCH_TILE")
+    if tile:
+        tw, th = (int(x) for x in tile.lower().split("x"))
+        settings = RenderSettings(chunk=chunk, tile_w=tw, tile_h=th)
+    else:
+        settings = RenderSettings(chunk=chunk)
     cam = default_camera(w, h, position=(0.0, 0.0, -8.0))
 
     target = render(scene, cam, w, h, settings).image
@@ -145,7 +154,7 @@ def main():
               else "train_iters_per_sec_100k_splats_800x600_v5e1")
     if tiny:
         metric += "_SMOKE_TINY"
-    print(json.dumps({
+    line = {
         "metric": metric,
         "value": round(value, 2),
         "unit": "iters/s",
@@ -155,7 +164,11 @@ def main():
         "baseline_note": "browser baseline 10 it/s is an assumption "
                          "(reference publishes no numbers); target is "
                          "10x that per BASELINE.json",
-    }))
+    }
+    if chunk != 128 or tile:
+        line["settings"] = {"chunk": chunk,
+                            "tile": f"{settings.tile_w}x{settings.tile_h}"}
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -35,6 +35,25 @@ run_bench1m() {
     timeout 1800 python scripts/bench_1m.py
 }
 
+run_sweep() {
+    # chunk x tile sweep of the headline bench; one JSONL line per combo in
+    # /tmp/sweep_r3.jsonl, combos already present are skipped so a tunnel
+    # flap mid-sweep resumes instead of restarting
+    echo "== chunk/tile sweep =="
+    SW=/tmp/sweep_r3.jsonl
+    touch "$SW"
+    rc=0
+    for combo in 128:16x16 256:16x16 512:16x16 128:32x16 256:32x16; do
+        chunk="${combo%%:*}"; tile="${combo##*:}"
+        grep -q "\"chunk\": $chunk, \"tile\": \"$tile\"" "$SW" && continue
+        echo "-- chunk=$chunk tile=$tile"
+        if ! WEBDGS_BENCH_CHUNK=$chunk WEBDGS_BENCH_TILE=$tile \
+            timeout 900 python bench.py >> "$SW"; then rc=1; break; fi
+    done
+    cat "$SW"
+    return $rc
+}
+
 run_train30k() {
     echo "== 30k real-format dataset run =="
     test -d /tmp/scene1/sparse || python scripts/make_synthetic_colmap.py \
@@ -64,6 +83,7 @@ case "$STAGE" in
     profile) run_profile ;;
     bench) run_bench ;;
     bench1m) run_bench1m ;;
+    sweep) run_sweep ;;
     train30k) run_train30k ;;
     benchckpt) run_bench_ckpt ;;
     all)
@@ -71,11 +91,12 @@ case "$STAGE" in
         # Non-fatal sequencing; report every rc at the end.
         run_bench;   rc_bench=$?
         run_profile; rc_profile=$?
+        run_sweep;   rc_sweep=$?
         run_tests;   rc_tests=$?
         run_bench1m; rc_1m=$?
         run_train30k; rc_30k=$?
         run_bench_ckpt
-        echo "RCs: bench=$rc_bench profile=$rc_profile tests=$rc_tests bench1m=$rc_1m train30k=$rc_30k"
+        echo "RCs: bench=$rc_bench profile=$rc_profile sweep=$rc_sweep tests=$rc_tests bench1m=$rc_1m train30k=$rc_30k"
         exit $(( rc_bench | rc_profile | rc_tests ))
         ;;
     *) echo "unknown stage $STAGE"; exit 1 ;;
