@@ -123,11 +123,17 @@ def main():
     cap = max(-int(-observed * 1.5 // settings.chunk) * settings.chunk,
               settings.chunk * 8)
 
+    # donate scene+opt: the steady-state Trainer loop holds no other refs
+    # to the previous step's state, so the bench aliases buffers the same
+    # way (one live copy of params+moments, not input+output)
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(s, o):
         return train_step(s, o, cam, target, img_w=w, img_h=h,
                           settings=settings, entry_capacity=cap)
 
-    s, o, _ = step(scene, opt)  # compile
+    s, o, _ = step(scene, opt)  # compile (donates scene/opt; use s/o below)
     _ = float(jnp.sum(s.means))  # sync
 
     iters = 3 if tiny else 20
@@ -140,12 +146,13 @@ def main():
 
     # Rendered Mpix/s/chip: forward-only frames at the same scene/viewport,
     # with the same adaptive entry capacity a Viewer would settle on.
-    img = render(scene, cam, w, h, settings, entry_capacity=cap).image
+    # (`scene` was donated to the first step; render the final state `s`.)
+    img = render(s, cam, w, h, settings, entry_capacity=cap).image
     img.block_until_ready()
     frames = 3 if tiny else 20
     t0 = time.perf_counter()
     for _ in range(frames):
-        img = render(scene, cam, w, h, settings, entry_capacity=cap).image
+        img = render(s, cam, w, h, settings, entry_capacity=cap).image
     img.block_until_ready()
     fdt = (time.perf_counter() - t0) / frames
     mpix_per_sec = (w * h / 1e6) / fdt

@@ -43,13 +43,18 @@ def main():
     # adaptive capacity like the Trainer: 1.5x observed entries
     cap = max(-int(-float(m['tile_entries']) * 1.5 // s.chunk) * s.chunk,
               s.chunk * 8)
-    sc, o, m = train_step(scene, opt, cam, target, img_w=w, img_h=h,
+    # donated steady-state loop, like the Trainer's step jit: one live copy
+    # of params+moments (~700 MB at 1M) instead of input+output
+    import functools
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def dstep(sc_, o_):
+        return train_step(sc_, o_, cam, target, img_w=w, img_h=h,
                           settings=s, entry_capacity=cap)
+    sc, o, m = dstep(scene, opt)
     _ = float(jnp.sum(sc.means))
     t0 = time.perf_counter()
     for _ in range(10):
-        sc, o, m = train_step(sc, o, cam, target, img_w=w, img_h=h,
-                              settings=s, entry_capacity=cap)
+        sc, o, m = dstep(sc, o)
     _ = float(jnp.sum(sc.means))
     dt = (time.perf_counter()-t0)/10
     print(f"train 1M (cap {cap}): {dt*1e3:.1f} ms/step ({1/dt:.2f} it/s)",

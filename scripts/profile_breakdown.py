@@ -25,8 +25,13 @@ def main():
     from webdgs_tpu.train.step import train_step
     from webdgs_tpu.core.scene import scene_from_arrays
 
-    n = 100_000
-    w, h = 800, 600
+    # WEBDGS_PROFILE_SCALE=tiny: same stages at toy shapes on CPU to smoke
+    # the script (plumbing only; the numbers are meaningless off-chip)
+    tiny = os.environ.get("WEBDGS_PROFILE_SCALE") == "tiny"
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
+    n = 2_000 if tiny else 100_000
+    w, h = (128, 96) if tiny else (800, 600)
     rng = np.random.default_rng(0)
     quats = rng.normal(0, 1, (n, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
@@ -37,7 +42,7 @@ def main():
         colors=rng.uniform(0, 1, (n, 3)).astype(np.float32))
     cam = default_camera(w, h, position=(0.0, 0.0, -8.0))
     s = RenderSettings(chunk=128)
-    cap = 786432
+    cap = 4096 if tiny else 786432
     ntx, nty = B.tile_grid(w, h, s)
     cfg = LossConfig()
     hp = AdamHyperparameters()
@@ -58,7 +63,7 @@ def main():
     rows = []
 
     def rec(name, stage, args, r=16):
-        ms = measure(stage, args, r=r)
+        ms = measure(stage, args, r=2 if tiny else r)
         rows.append((name, ms))
         print(f"{name:22s} {ms:7.2f} ms", flush=True)
 
@@ -100,12 +105,12 @@ def main():
     def sort2(k, g):
         return jax.lax.sort((k, g), num_keys=1)
 
-    keys0 = jnp.concatenate([
-        jax.random.randint(jax.random.PRNGKey(0), (cap,), 0,
-                           1 << 30).astype(jnp.uint32),
-        jnp.full((ntx * nty * s.chunk,), 0xFFFFFFFF, jnp.uint32)])
+    # the real sort size since the round-2 counting-sort realignment:
+    # only the e_cap expansion slots, no alignment padding
+    keys0 = jax.random.randint(jax.random.PRNGKey(0), (cap,), 0,
+                               1 << 30).astype(jnp.uint32)
     gauss0 = jnp.zeros_like(keys0).astype(jnp.int32)
-    rec("bin/sort(k,g) 1.03M", sort2, (keys0, gauss0))
+    rec(f"bin/sort(k,g) {cap/1e3:.0f}k", sort2, (keys0, gauss0))
 
     rec("pack gather", lambda at, b: RZ.pack_entry_attrs(
         at, b.entry_gauss, b.entry_valid, s), (attrs, bins))
@@ -122,8 +127,16 @@ def main():
 
     rec("grad scatter-add", scatter_rows, (a16, bins))
 
+    # the step's actual loss path since round 3: cotangent + metrics on the
+    # tile buffer (ops/tile_loss.py); the image-space stages below are the
+    # small-frame fallback, kept for comparison
+    from webdgs_tpu.ops.tile_loss import tile_loss_gradient
+    rec("tile loss (real path)", lambda t: tile_loss_gradient(
+        t, target, w, h, ntx, nty, cfg, s), (fwd_out,))
+
     img0 = jnp.ones((h, w, 3), jnp.float32)
-    rec("loss grad", lambda i: pixel_loss_gradient(i, target, cfg), (img0,))
+    rec("loss grad (fallback)", lambda i: pixel_loss_gradient(i, target, cfg),
+        (img0,))
     rec("img->tiles", lambda i: RZ.image_to_tiles(i, ntx, nty, s), (img0,))
     rec("tiles->img", lambda t: RZ.tiles_to_image(t, ntx, nty, w, h, s),
         (fwd_out,))

@@ -105,8 +105,11 @@ class AdamState:
 
 def init_adam_state(params: dict[str, jax.Array]) -> AdamState:
     n = params["means"].shape[0]
-    zeros = jnp.zeros((n, PACK_DIM), jnp.float32)
-    return AdamState(m=zeros, v=zeros, iteration=jnp.int32(0))
+    # m and v must be DISTINCT buffers: the step jits donate opt_state, and
+    # donating the same buffer twice is an XLA error (f(donate(a), donate(a)))
+    return AdamState(m=jnp.zeros((n, PACK_DIM), jnp.float32),
+                     v=jnp.zeros((n, PACK_DIM), jnp.float32),
+                     iteration=jnp.int32(0))
 
 
 def _lane_lrs(hp: AdamHyperparameters) -> np.ndarray:

@@ -256,7 +256,7 @@ class GsTrainer(Trainer):
         from webdgs_tpu.parallel.sharding import gs_train_step
 
         @functools.partial(
-            jax.jit,
+            jax.jit, donate_argnums=(1,),
             static_argnames=("img_w", "img_h", "entry_cap", "send_cap"))
         def run(scene, opt_state, cams, imgs, idx, img_w, img_h, entry_cap,
                 send_cap):
@@ -377,4 +377,10 @@ class GsTrainer(Trainer):
 
     def resume_from(self, scene, opt_state, iteration: int) -> None:
         super().resume_from(scene, opt_state, iteration)
+        self._place()
+
+    def _rollback(self) -> None:
+        # the host-side optimizer snapshot needs re-sharding over the band
+        # axis before the next donated step
+        super()._rollback()
         self._place()

@@ -153,7 +153,11 @@ class Trainer:
 
     @functools.cached_property
     def _indexed_step(self):
-        @functools.partial(jax.jit,
+        # opt_state is donated: the Adam moments are consumed only by the
+        # step itself (rollback snapshots hold HOST copies — _snapshot), so
+        # XLA aliases the input buffers into the outputs instead of holding
+        # input+output moments live at once (~2/3 of the training state)
+        @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("img_w", "img_h", "entry_cap"))
         def run(scene, opt_state, cams, imgs, idx, img_w, img_h, entry_cap):
             camera = jax.tree.map(lambda x: x[idx], cams)
@@ -197,7 +201,7 @@ class Trainer:
     def _indexed_dp_step(self):
         from webdgs_tpu.parallel.sharding import dp_train_step
 
-        @functools.partial(jax.jit,
+        @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("img_w", "img_h", "entry_cap"))
         def run(scene, opt_state, cams, imgs, idxs, img_w, img_h, entry_cap):
             cam_batch = jax.tree.map(lambda x: x[idxs], cams)
@@ -448,8 +452,14 @@ class Trainer:
     MAX_ROLLBACKS = 5
 
     def _snapshot(self) -> None:
-        self._last_good = (self.scene, self.opt_state, self.iteration,
-                           self.num_points)
+        # the optimizer snapshot is pulled to HOST memory: the step jits
+        # donate opt_state, so a device-resident snapshot would be the very
+        # buffer the next step invalidates.  (The scene is NOT donated — the
+        # live viewer thread and evaluate() share its buffers — so its
+        # device reference stays valid.)  One D2H of the moments per
+        # SNAPSHOT_INTERVAL; rollback re-uploads lazily via the next step.
+        self._last_good = (self.scene, jax.device_get(self.opt_state),
+                           self.iteration, self.num_points)
 
     def _rollback(self) -> None:
         scene, opt, it, npts = self._last_good
