@@ -198,6 +198,26 @@ def test_viewer_server_endpoints(tmp_path):
         server.shutdown()
 
 
+def test_progressive_refine_after_motion():
+    """Motion frames render at MOTION_DOWNSCALE; once input stops, the
+    resolution refines one octave per frame (4 -> 2 -> 1) instead of
+    jumping straight to one slow full-res render."""
+    from webdgs_tpu.render.server import ViewerServer
+
+    viewer = Viewer(random_scene(5, seed=72), 64, 64)
+    vs = ViewerServer(viewer, motion_downscale=4)
+    seen = []
+    orig = viewer.render
+    viewer.render = lambda downscale=1: (seen.append(downscale)
+                                         or orig(downscale=downscale))
+    vs.handle_control({"drag": [2, 0]})  # input: inside the motion window
+    vs.frame_jpeg()
+    vs._last_input = 0.0  # motion window elapsed
+    for _ in range(3):
+        vs.frame_jpeg()
+    assert seen == [4, 2, 1, 1]
+
+
 def test_viewer_server_stats(tmp_path):
     import threading
     import urllib.request

@@ -145,9 +145,12 @@ setInterval(async () => {
 
 
 class ViewerServer:
-    # render at half resolution while the camera is moving (input within
+    # render at reduced resolution while the camera is moving (input within
     # this window); the page stretches to the canvas, so motion stays
-    # fluid and stills are sharp
+    # fluid and stills are sharp.  After motion stops the resolution
+    # refines PROGRESSIVELY — one octave per frame — so a large viewport
+    # settles through a quick intermediate frame instead of stalling on
+    # one slow full-res render.
     MOTION_WINDOW_S = 0.4
     MOTION_DOWNSCALE = 2
 
@@ -170,6 +173,7 @@ class ViewerServer:
         self._state_lock = threading.Lock()
         self.fps = 0.0  # EMA like the reference HUD (main.ts:550-561)
         self._last_input = 0.0
+        self._down_level = 1  # current progressive-refine octave
         if motion_downscale is not None:
             self.MOTION_DOWNSCALE = motion_downscale
         self.trainer = trainer
@@ -311,9 +315,15 @@ class ViewerServer:
     def frame_jpeg(self) -> bytes:
         from PIL import Image
         moving = (time.monotonic() - self._last_input) < self.MOTION_WINDOW_S
-        down = self.MOTION_DOWNSCALE if moving else 1
         t0 = time.perf_counter()
         with self.lock:
+            # progressive refine: motion frames render at MOTION_DOWNSCALE;
+            # once input stops, each successive frame halves the downscale
+            # until full res (with the default of 2 that is one step; with
+            # --motion-downscale 4 a still settles 4 -> 2 -> 1)
+            down = (self.MOTION_DOWNSCALE if moving
+                    else max(1, self._down_level // 2))
+            self._down_level = down
             img = self.viewer.render(downscale=down)
         dt = time.perf_counter() - t0
         inst = 1.0 / dt if dt > 0 else 0.0
