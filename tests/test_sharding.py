@@ -532,6 +532,55 @@ def test_gs_adaptive_send_capacity(mesh):
     assert tr._gs_send_cap > SETTINGS.chunk
 
 
+@pytest.mark.slow
+def test_gs_trainer_nan_rollback(mesh):
+    """Failure recovery on the fully-sharded path: the rollback restores a
+    HOST optimizer snapshot (the step jits donate opt_state), and
+    GsTrainer._rollback must re-shard it over the band axis before the next
+    donated step."""
+    from webdgs_tpu.core.camera import CameraData
+    from webdgs_tpu.parallel.gs_trainer import GsTrainer
+    from webdgs_tpu.train.config import (DensifyPruneConfig, DensifySchedule,
+                                         TrainerConfig)
+
+    w = h = 32
+    gt = random_scene(10, seed=95)
+    gt = gt.replace(opacity_logits=gt.opacity_logits + 2.0)
+    fy = 0.5 * h / np.tan(np.radians(45.0) / 2)
+    cam = default_camera(w, h, position=(0, 0, -5.0))
+    img = np.asarray(render(gt, cam, w, h, SETTINGS).image)
+    cams = [CameraData(id=0, position=np.zeros(3, np.float32),
+                       rotation=np.eye(3, dtype=np.float32),
+                       fx=fy, fy=fy, width=w, height=h)]
+    imgs = [{"name": "v0", "image": img, "width": w, "height": h}]
+    cfg = TrainerConfig(max_iterations=100, densify=DensifyPruneConfig(
+        schedule=DensifySchedule(enabled=False)))
+    tr = GsTrainer(random_scene(8, seed=96), cams, imgs, cfg, SETTINGS,
+                   mesh=mesh, initial_capacity=64)
+    tr.SNAPSHOT_INTERVAL = 2
+
+    poisoned = {"done": False}
+    orig_step = tr.step
+
+    def step_with_poison():
+        m = orig_step()
+        if tr.iteration == 4 and not poisoned["done"]:
+            poisoned["done"] = True
+            m = dict(m, loss=jnp.float32(np.nan))
+        return m
+
+    tr.step = step_with_poison
+    logs = []
+    tr.train(num_iterations=8, log_every=0, log_fn=logs.append)
+    assert poisoned["done"]
+    assert any("rolling back" in s for s in logs), logs
+    # training continued past the rollback with finite, band-sharded state
+    assert np.isfinite(float(tr.last_metrics["loss"]))
+    assert np.isfinite(np.asarray(tr.scene.means)).all()
+    from jax.sharding import PartitionSpec as P
+    assert tr.opt_state.m.sharding.spec == P(tr.band_axis)
+
+
 def test_gaussian_sharded_render_f16_class(mesh):
     """Default f16 entry exchange (halved ICI bytes, tile-relative
     centers): the frame must match single-device at the f16 class — the
