@@ -397,6 +397,49 @@ def _tiny_trainer(max_iterations=100, **trainer_kw):
                    **trainer_kw)
 
 
+def test_evaluate_max_views_bucket():
+    """evaluate(max_views=k) renders a power-of-two bucket >= k, not the
+    whole group (O(k) device work) and not exactly k (which would compile
+    per distinct count)."""
+    from webdgs_tpu.core.camera import CameraData, default_camera
+    from webdgs_tpu.config import RenderSettings
+    from webdgs_tpu.render.renderer import render
+    from webdgs_tpu.train.config import (DensifyPruneConfig, DensifySchedule,
+                                         TrainerConfig)
+    from webdgs_tpu.train.trainer import Trainer
+
+    w = h = 32
+    settings = RenderSettings(chunk=128)
+    gt = random_scene(10, seed=95)
+    gt = gt.replace(opacity_logits=gt.opacity_logits + 2.0)
+    fy = 0.5 * h / np.tan(np.radians(45.0) / 2)
+    cams, imgs = [], []
+    for i in range(5):
+        pos = (0.1 * i, 0.0, -5.0)
+        img = np.asarray(render(gt, default_camera(w, h, position=pos),
+                                w, h, settings).image)
+        cams.append(CameraData(id=i, position=np.asarray(pos, np.float32),
+                               rotation=np.eye(3, dtype=np.float32),
+                               fx=fy, fy=fy, width=w, height=h))
+        imgs.append({"name": f"v{i}", "image": img, "width": w, "height": h})
+    cfg = TrainerConfig(densify=DensifyPruneConfig(
+        schedule=DensifySchedule(enabled=False)))
+    tr = Trainer(random_scene(8, seed=96), cams, imgs, cfg, settings)
+
+    sizes = []
+    orig = tr._eval_fn
+
+    def spy(scene, cams_b, imgs_b, iw, ih, cap):
+        sizes.append(int(imgs_b.shape[0]))
+        return orig(scene, cams_b, imgs_b, iw, ih, cap)
+
+    tr._eval_fn = spy
+    r = tr.evaluate(max_views=3)
+    assert r["views"] == 3 and sizes == [4]  # bucket 4, report 3
+    r = tr.evaluate()
+    assert r["views"] == 5 and sizes[-1] == 5  # full group unchanged
+
+
 def test_set_config_live_mutation():
     """VERDICT item: moving a slider mid-run changes the next step's update
     (the reference's deep-partial setters, src/trainer.ts:248-283).  With

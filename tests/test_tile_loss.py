@@ -123,11 +123,12 @@ def test_train_step_tile_path_matches_image_path():
 
 
 def test_band_tile_loss_matches_full():
-    """Band-sharded tile loss (halo tile rows from the vertical neighbors)
-    must reproduce the full-frame kernel bit for bit on every band —
-    including a ragged bottom edge and garbage halos at the frame borders
-    (the clamped selects must never read them)."""
-    from webdgs_tpu.ops.tile_loss import band_tile_loss_gradient
+    """Band-sharded tile loss (2-pixel boundary slices from the vertical
+    neighbors) must reproduce the full-frame kernel bit for bit on every
+    band — including a ragged bottom edge and garbage halos at the frame
+    borders (the clamped selects must never read them)."""
+    from webdgs_tpu.ops.tile_loss import (band_tile_loss_gradient,
+                                          halo_slices)
 
     cfg = LossConfig()
     img_w, img_h = 70, 52
@@ -149,14 +150,16 @@ def test_band_tile_loss_matches_full():
     dpix_full, met_full = tile_loss_gradient(out, target, img_w, img_h,
                                              ntx, nty, cfg, SETTINGS)
 
+    eb = 2 * SETTINGS.tile_w  # HALF * tile_w boundary slice
     garbage = jnp.asarray(
-        rng.random((ntx, SETTINGS.tile_px, raster_ops.NUM_OUT)) * 5.0,
-        jnp.float32)
+        rng.random((ntx, eb, raster_ops.NUM_OUT)) * 5.0, jnp.float32)
     dpix_bands, sums_bands = [], []
     for b in range(d):
         lo, hi = b * rows * ntx, (b + 1) * rows * ntx
-        halo_top = out[lo - ntx:lo] if b > 0 else garbage
-        halo_bot = out[hi:hi + ntx] if b < d - 1 else garbage
+        bot_above, _ = halo_slices(out[lo - ntx:lo], ntx, SETTINGS)
+        _, top_below = halo_slices(out[hi:hi + ntx], ntx, SETTINGS)
+        halo_top = bot_above if b > 0 else garbage
+        halo_bot = top_below if b < d - 1 else garbage
         dpix_b, sums_b = band_tile_loss_gradient(
             out[lo:hi], halo_top, halo_bot, target,
             jnp.int32(b * rows), img_w, img_h, ntx, rows, cfg, SETTINGS)

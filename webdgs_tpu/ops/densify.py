@@ -103,8 +103,10 @@ def cap_counts(counts: jax.Array, actions: jax.Array, max_out,
     output offsets (the sharded event passes each shard's global base so cap
     decisions match the single-device event exactly).
 
-    Returns (counts, actions, offsets, total) — offsets are LOCAL (exclude
-    base_offset), total is the local output count."""
+    Returns (counts, actions, total) — total is the local output count.
+    Output offsets are NOT returned: they must come from a fresh cumsum of
+    the CLIPPED counts (compact_transform recomputes them), never from the
+    pre-clip prefix used for the cap decision."""
     offsets = jnp.cumsum(counts) - counts
     counts = jnp.clip(max_out - (offsets + base_offset), 0, counts)
     total = jnp.sum(counts)
@@ -115,10 +117,7 @@ def cap_counts(counts: jax.Array, actions: jax.Array, max_out,
     degraded = (counts == 1) & ((actions == ACTION_CLONE)
                                 | (actions == ACTION_SPLIT))
     actions = jnp.where(degraded, ACTION_KEEP, actions)
-    # offsets must be recomputed from the clipped counts: clipping zeroes
-    # tail counts, which only shortens the output — prefix offsets of the
-    # surviving outputs are unchanged
-    return counts, actions, offsets, total
+    return counts, actions, total
 
 
 def compact_transform(params: dict, opt_state: AdamState, counts, actions,
@@ -217,7 +216,7 @@ def densify_prune(scene: GaussianScene, opt_state: AdamState,
     # capacity cap (densify-prune-cap.wgsl; trainer.ts:147-160 growth cap)
     max_out = jnp.minimum(jnp.int32(n),
                           in_alive + jnp.int32(cfg.max_new_points_per_step))
-    counts, actions, _, total = cap_counts(counts, actions, max_out)
+    counts, actions, total = cap_counts(counts, actions, max_out)
 
     jitter_u, split_d = densify_rng(key, n)
     new_params, new_opt, valid_out = compact_transform(

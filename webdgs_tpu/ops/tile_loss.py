@@ -277,25 +277,35 @@ def metrics_from_sums(tot: jax.Array, cfg: LossConfig) -> dict:
     }
 
 
+def halo_slices(out: jax.Array, ntx: int, settings: RenderSettings):
+    """The two (ntx, HALF*tw, NUM_OUT) boundary slices a vertical neighbor
+    band needs from this band: (bottom slice of the LAST tile row, top
+    slice of the FIRST tile row).  These are what the caller ppermutes —
+    the kernel reads nothing else of the neighbor bands, so shipping full
+    tile rows would move tile_h/HALF x the required ICI bytes."""
+    eb = HALF * settings.tile_w
+    return out[-ntx:, -eb:, :], out[:ntx, :eb, :]
+
+
 def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
                             halo_bot: jax.Array, target: jax.Array,
                             row_base: jax.Array, img_w: int, img_h: int,
                             ntx: int, rows: int, cfg: LossConfig,
                             settings: RenderSettings):
     """Band-sharded variant: pixel cotangent for ONE device's band of tile
-    rows, given the vertically adjacent tile rows from the neighbor bands.
+    rows, given the 2-pixel boundary slices from the neighbor bands.
 
     out: (rows*ntx, P, NUM_OUT) this band's rasterizer tiles; halo_top /
-    halo_bot: (ntx, P, NUM_OUT) — the band above's LAST and the band
-    below's FIRST tile row (ppermuted over the band axis by the caller;
-    only their 2-pixel boundary blocks are read).  ``row_base``: global
-    tile row of ``out``'s first row — a traced per-device scalar (enters
-    the kernel through SMEM; block index maps stay band-local).
+    halo_bot: (ntx, HALF*tw, NUM_OUT) — the band above's bottom slice and
+    the band below's top slice (:func:`halo_slices`, ppermuted over the
+    band axis by the caller).  ``row_base``: global tile row of ``out``'s
+    first row — a traced per-device scalar (enters the kernel through
+    SMEM; block index maps stay band-local).
 
     At frame borders the halo CONTENT is never read: the kernel's
     edge-clamped selects (the reference's clamped textureLoad,
     loss.wgsl:20-28) only index rows inside [0, img_h), so the wrap-around
-    rows a circular ppermute delivers to bands 0 and D-1 are harmless.
+    slices a circular ppermute delivers to bands 0 and D-1 are harmless.
     Rows of padding bands beyond the frame produce zero gradient and zero
     metric sums (their valid mask is empty).
 
@@ -306,35 +316,28 @@ def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
     th, tw = settings.tile_h, settings.tile_w
     p_px = settings.tile_px
     band_tiles = rows * ntx
-    ext = jnp.concatenate([halo_top, out, halo_bot], axis=0)
+    eb = HALF * tw
+    # per-tile vertical-neighbor blocks: above[t] = bottom slice of the
+    # tile directly above tile t, below[t] = top slice of the tile below
+    # (O(band * HALF/th) bytes — the old full-band ext concatenation
+    # copied the whole tile buffer once per step)
+    above = jnp.concatenate([halo_top, out[:-ntx, -eb:, :]], axis=0)
+    below = jnp.concatenate([out[ntx:, :eb, :], halo_bot], axis=0)
 
     def row(b):
-        # same local tile row inside ext (offset by the halo row)
         def f(t):
             tx = t % ntx
-            return ntx + t - tx + jnp.clip(tx - 1, 0, ntx - 3) + b
-        return f
-
-    def vrow(dy, b):
-        # vertical neighbor inside ext: local row ty+dy+1 is always in
-        # [0, rows+1] — the halos ARE the clamp
-        def f(t):
-            tx = t % ntx
-            return ((t // ntx + dy + 1) * ntx
-                    + jnp.clip(tx - 1, 0, ntx - 3) + b)
+            return t - tx + jnp.clip(tx - 1, 0, ntx - 3) + b
         return f
 
     full = lambda f: pl.BlockSpec((1, p_px, NUM_OUT),
                                   lambda t: (f(t), 0, 0))
-    n_blk = p_px // (HALF * tw)
-    edge = lambda f, blk: pl.BlockSpec((1, HALF * tw, NUM_OUT),
-                                       lambda t: (f(t), blk, 0))
+    edge = lambda f: pl.BlockSpec((1, eb, NUM_OUT), lambda t: (f(t), 0, 0))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
         full(row(0)), full(row(1)), full(row(2)),
-        edge(vrow(-1, 0), n_blk - 1), edge(vrow(-1, 1), n_blk - 1),
-        edge(vrow(-1, 2), n_blk - 1),
-        edge(vrow(1, 0), 0), edge(vrow(1, 1), 0), edge(vrow(1, 2), 0),
+        edge(row(0)), edge(row(1)), edge(row(2)),
+        edge(row(0)), edge(row(1)), edge(row(2)),
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
     ]
     out_specs = [
@@ -358,6 +361,6 @@ def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=use_interpret_mode(),
-    )(row_base.reshape(1).astype(jnp.int32), ext, ext, ext, ext, ext, ext,
-      ext, ext, ext, target)
+    )(row_base.reshape(1).astype(jnp.int32), out, out, out,
+      above, above, above, below, below, below, target)
     return dpix, sums

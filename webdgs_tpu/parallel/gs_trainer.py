@@ -163,11 +163,11 @@ def gs_densify_event(scene: GaussianScene, opt_state: AdamState,
         max_out = jnp.minimum(
             jnp.int32(n_glob),
             in_alive + jnp.int32(cfg.max_new_points_per_step))
-        cnt, act, _, _ = cap_counts(cnt, act, max_out, base_offset=base)
+        cnt, act, _ = cap_counts(cnt, act, max_out, base_offset=base)
         # local slot cap: a shard holds at most n_loc outputs (an extra
         # constraint the single-device event does not have; it only binds
         # when shards are imbalanced near full capacity)
-        cnt, act, _, total_l = cap_counts(cnt, act, jnp.int32(n_loc))
+        cnt, act, total_l = cap_counts(cnt, act, jnp.int32(n_loc))
 
         # ---- transform with the single-device RNG rows for this shard ----
         jit_full, spl_full = densify_rng(k, n_glob)
@@ -226,6 +226,11 @@ class GsTrainer(Trainer):
             else None
         self.d_band = mesh.shape[self.band_axis]
         self.n_step_views = mesh.shape[self.dp_axis] if self.dp_axis else 1
+        if initial_capacity is not None:
+            # fail-fast alignment: an explicit capacity that is not band-
+            # divisible would otherwise defer the error to the first step
+            initial_capacity = -(-initial_capacity // self.d_band) \
+                * self.d_band
         super().__init__(scene, cameras, images,
                          config or TrainerConfig(),
                          settings or DEFAULT_SETTINGS,
@@ -288,11 +293,7 @@ class GsTrainer(Trainer):
         if self.config.densify.schedule.should_densify(self.iteration):
             self._run_densify(w, h)
 
-        self.step_ms = (time.perf_counter() - t0) * 1e3
-        inst = 1000.0 / self.step_ms if self.step_ms > 0 else 0.0
-        self.iters_per_sec = (inst if self.iters_per_sec == 0 else
-                              0.9 * self.iters_per_sec + 0.1 * inst)
-        self.last_metrics = metrics
+        self._finish_step(t0, metrics)
         return metrics
 
     def _maybe_adapt_gs_caps(self, metrics) -> None:
@@ -331,25 +332,17 @@ class GsTrainer(Trainer):
                 self.gs_mesh, mw=mw, mh=mh, cfg=cfg, settings=self.settings)
         return run
 
+    def _on_state_resize(self) -> None:
+        self._place()
+
     def _run_densify(self, w: int, h: int) -> None:
         cfg = self.config.densify
         g = self.groups[(w, h)]
         downscale = max(1, int(cfg.metric_downscale))
         mw, mh = max(1, w // downscale), max(1, h // downscale)
 
-        # capacity growth first (mesh-divisible rounding; one recompile)
-        needed = self.num_points + cfg.max_new_points_per_step
-        budget = cfg.max_buffer_bytes // 96
-        if needed > self.scene.capacity and self.scene.capacity < budget:
-            new_cap = self._round(min(int(needed * 1.5), budget))
-            if new_cap > self.scene.capacity:
-                pad = new_cap - self.scene.capacity
-                self.scene = self.scene.pad_to(new_cap)
-                self.opt_state = AdamState(
-                    m=jnp.pad(self.opt_state.m, [(0, pad), (0, 0)]),
-                    v=jnp.pad(self.opt_state.v, [(0, pad), (0, 0)]),
-                    iteration=self.opt_state.iteration)
-                self._place()
+        # capacity growth first (mesh-divisible via self._round)
+        self._grow_capacity()
 
         # spread alive rows + free slots evenly over the shards so the
         # event's local slot cap only binds when the global budget does

@@ -553,11 +553,13 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
         if supports_tile_loss(img_w, img_h, settings):
             # ---- tile-space band loss: the cotangent is computed directly
             # on this band's (T, P, 8) tile buffer; the 5x5 DSSIM window
-            # support crosses band borders through ONE ppermuted tile row
-            # per direction.  No band-image assembly, no re-tile transpose,
+            # support crosses band borders through ONE ppermuted 2-pixel
+            # boundary slice per direction (the only neighbor bytes the
+            # kernel reads).  No band-image assembly, no re-tile transpose,
             # one SSIM pass — the sharded analogue of the single-device
             # tiled path (ops/tile_loss.py) ----
             from webdgs_tpu.ops.tile_loss import (band_tile_loss_gradient,
+                                                  halo_slices,
                                                   metrics_from_sums)
 
             def band_tiles_fn(a):
@@ -568,8 +570,9 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
                     entry_rows.T, tile_offsets, ntx, rows, settings)
 
             out, vjp_raster = jax.vjp(band_tiles_fn, attrs)
-            halo_top = jax.lax.ppermute(out[-ntx:], axis, perm_up)
-            halo_bot = jax.lax.ppermute(out[:ntx], axis, perm_dn)
+            bot_slice, top_slice = halo_slices(out, ntx, settings)
+            halo_top = jax.lax.ppermute(bot_slice, axis, perm_up)
+            halo_bot = jax.lax.ppermute(top_slice, axis, perm_dn)
             dpix, sums = band_tile_loss_gradient(
                 out, halo_top, halo_bot, tgt, b * rows, img_w, img_h,
                 ntx, rows, loss_cfg, settings)

@@ -71,14 +71,20 @@ for (const [path, label, lo, hi, init] of SLIDERS) {
      style="width:160px;vertical-align:middle">
     <span style="display:inline-block;width:70px">${init}</span>`;
   const inp = row.querySelector('input'), val = row.querySelector('span');
+  // debounce: each config post rebuilds the jitted step (a full retrace),
+  // so a drag must coalesce to ONE post, not one per input tick
+  let cfgTimer = null;
   inp.oninput = () => {
     val.textContent = (+inp.value).toPrecision(3);
-    const cfg = {}; let o = cfg;
-    const parts = path.split('.');
-    for (let i = 0; i < parts.length - 1; i++) o = o[parts[i]] = {};
-    const intKeys = path.includes('interval');
-    o[parts[parts.length-1]] = intKeys ? Math.round(+inp.value) : +inp.value;
-    post({config: cfg});
+    clearTimeout(cfgTimer);
+    cfgTimer = setTimeout(() => {
+      const cfg = {}; let o = cfg;
+      const parts = path.split('.');
+      for (let i = 0; i < parts.length - 1; i++) o = o[parts[i]] = {};
+      const intKeys = path.includes('interval');
+      o[parts[parts.length-1]] = intKeys ? Math.round(+inp.value) : +inp.value;
+      post({config: cfg});
+    }, 250);
   };
   cfgDiv.appendChild(row);
 }
@@ -181,6 +187,7 @@ class ViewerServer:
         self.train_error: str | None = None
         self._loss_view: tuple[int, float] = (0, 0.0)  # (index, chosen_at)
         self.holdout = holdout if holdout and holdout[0] else None
+        self._holdout_groups: dict | None = None  # grouped once, first eval
         self.holdout_psnr: float | None = None
         self._shutdown = threading.Event()
         self._train_thread: threading.Thread | None = None
@@ -203,9 +210,15 @@ class ViewerServer:
                 tr.step()
                 if (self.holdout is not None
                         and tr.iteration % self.HOLDOUT_EVAL_EVERY == 0):
-                    cams, imgs = self.holdout
-                    r = tr.evaluate(views=(cams[:self.HOLDOUT_EVAL_VIEWS],
-                                           imgs[:self.HOLDOUT_EVAL_VIEWS]))
+                    if self._holdout_groups is None:
+                        # group/stack/upload the holdout views ONCE; every
+                        # later eval is a pure device call
+                        from webdgs_tpu.train.trainer import _group_views
+                        cams, imgs = self.holdout
+                        self._holdout_groups = _group_views(
+                            cams[:self.HOLDOUT_EVAL_VIEWS],
+                            imgs[:self.HOLDOUT_EVAL_VIEWS])
+                    r = tr.evaluate(groups=self._holdout_groups)
                     self.holdout_psnr = r["psnr"]
             except Exception as e:  # surface the failure in the HUD
                 import traceback

@@ -124,9 +124,15 @@ class Trainer:
         the cached jitted closures so the next step uses the new values."""
         from webdgs_tpu.train.config import TrainerConfig, _merge_dataclass
         if isinstance(updates, TrainerConfig):
-            self.config = updates
+            new = updates
         else:
-            self.config = _merge_dataclass(self.config, updates)
+            new = _merge_dataclass(self.config, updates)
+        if new == self.config:
+            # no-op updates (e.g. a UI slider re-posting its current value
+            # every input tick) must not invalidate the jitted closures —
+            # each invalidation costs a full train-step retrace
+            return
+        self.config = new
         for name in self._CONFIG_CLOSURES:
             self.__dict__.pop(name, None)
 
@@ -239,12 +245,17 @@ class Trainer:
         if self.config.densify.schedule.should_densify(next_it):
             self._run_densify(w, h)
 
+        self._finish_step(t0, metrics)
+        return metrics
+
+    def _finish_step(self, t0: float, metrics: dict) -> None:
+        """Step timing + iters/s EMA (trainer.ts:648-651), shared with the
+        sharded trainer."""
         self.step_ms = (time.perf_counter() - t0) * 1e3
         inst = 1000.0 / self.step_ms if self.step_ms > 0 else 0.0
         self.iters_per_sec = (inst if self.iters_per_sec == 0 else
                               0.9 * self.iters_per_sec + 0.1 * inst)
         self.last_metrics = metrics
-        return metrics
 
     # ------------------------------------------------------------------
     @functools.cached_property
@@ -289,14 +300,10 @@ class Trainer:
                 jnp.array([mw, mh], jnp.float32), cams.viewport.shape),
         )
 
-    def _run_densify(self, w: int, h: int) -> None:
+    def _grow_capacity(self) -> None:
+        """Grow scene+optimizer capacity if densify headroom is short (one
+        recompile, the analogue of the reference's buffer swap)."""
         cfg = self.config.densify
-        g = self.groups[(w, h)]
-        downscale = max(1, int(cfg.metric_downscale))
-        mw, mh = max(1, w // downscale), max(1, h // downscale)
-
-        # grow capacity first if headroom is short (one recompile, the
-        # analogue of the reference's buffer swap)
         needed = self.num_points + cfg.max_new_points_per_step
         budget = cfg.max_buffer_bytes // 96  # sh-buffer stride analogue
         if needed > self.scene.capacity and self.scene.capacity < budget:
@@ -308,6 +315,19 @@ class Trainer:
                     m=jnp.pad(self.opt_state.m, [(0, pad), (0, 0)]),
                     v=jnp.pad(self.opt_state.v, [(0, pad), (0, 0)]),
                     iteration=self.opt_state.iteration)
+                self._on_state_resize()
+
+    def _on_state_resize(self) -> None:
+        """Hook after a capacity change (the sharded trainer re-pins
+        shardings here)."""
+
+    def _run_densify(self, w: int, h: int) -> None:
+        cfg = self.config.densify
+        g = self.groups[(w, h)]
+        downscale = max(1, int(cfg.metric_downscale))
+        mw, mh = max(1, w // downscale), max(1, h // downscale)
+
+        self._grow_capacity()
 
         n_views = min(max(1, cfg.metric_views), g["count"])
         view_idx = jnp.asarray(
@@ -364,14 +384,19 @@ class Trainer:
         return run
 
     def evaluate(self, max_views: int | None = None,
-                 views: tuple[list, list] | None = None) -> dict:
+                 views: tuple[list, list] | None = None,
+                 groups: dict | None = None) -> dict:
         """Mean PSNR / L1 / SSIM over dataset views — quality reporting the
         reference never had (SURVEY.md section 5: no PSNR/SSIM anywhere).
 
         ``views``: optional (cameras, images) lists to evaluate instead of
-        the training set (e.g. a held-out test split)."""
-        groups = (self.groups if views is None
-                  else _group_views(views[0], views[1]))
+        the training set (e.g. a held-out test split).  ``groups``: a
+        pre-grouped ``_group_views`` result — callers that evaluate the
+        same split repeatedly should group once and pass it here (grouping
+        re-stacks and re-uploads every target image)."""
+        if groups is None:
+            groups = (self.groups if views is None
+                      else _group_views(views[0], views[1]))
         per_view = []
         remaining = max_views
         for (w, h), g in groups.items():
@@ -379,10 +404,18 @@ class Trainer:
                 break
             take = g["count"] if remaining is None else min(g["count"],
                                                             remaining)
-            # evaluate the whole pre-stacked group and slice host-side:
-            # slicing the device arrays to `take` would change the stacked
-            # shapes and trigger a fresh lax.map compile per distinct count
-            vals = self._eval_fn(self.scene, g["cams"], g["imgs"],
+            # Evaluate a power-of-two bucket >= take and slice host-side:
+            # slicing the device arrays to `take` itself would compile a
+            # fresh lax.map per distinct count, while always evaluating the
+            # whole group would make evaluate(max_views=k) cost O(group)
+            # device work.  Buckets bound the compiles at log2(count) per
+            # resolution AND the work at < 2x the request.
+            b = min(1 << max(take - 1, 0).bit_length(), g["count"])
+            cams_b, imgs_b = g["cams"], g["imgs"]
+            if b < g["count"]:
+                cams_b = jax.tree.map(lambda x: x[:b], cams_b)
+                imgs_b = imgs_b[:b]
+            vals = self._eval_fn(self.scene, cams_b, imgs_b,
                                  w, h, self._entry_cap())
             per_view.append(np.asarray(vals)[:take])
             if remaining is not None:
