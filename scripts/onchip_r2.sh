@@ -17,7 +17,8 @@ fi
 run_tests() {
     echo "== on-chip kernel tests =="
     WEBDGS_TEST_TPU=1 timeout 1800 python -m pytest \
-        tests/test_render_forward.py tests/test_gradients.py -x -q
+        tests/test_render_forward.py tests/test_gradients.py \
+        tests/test_tile_loss.py -x -q
 }
 
 run_profile() {
