@@ -41,6 +41,8 @@ def main():
     if os.environ.get("WEBDGS_BENCH_PLATFORM"):
         jax.config.update("jax_platforms",
                           os.environ["WEBDGS_BENCH_PLATFORM"])
+    from webdgs_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     tiny = os.environ.get("WEBDGS_BENCH_SCALE") == "tiny"
 
     # The axon TPU tunnel can be unreachable, in which case jax.devices()

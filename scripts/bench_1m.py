@@ -5,7 +5,8 @@ import numpy as np
 
 def main():
     import jax, jax.numpy as jnp
-    from webdgs_tpu.config import RenderSettings
+    from webdgs_tpu.config import RenderSettings, enable_compilation_cache
+    enable_compilation_cache()
     from webdgs_tpu.core.camera import default_camera
     from webdgs_tpu.core.scene import scene_from_arrays
     from webdgs_tpu.ops.adam import init_adam_state

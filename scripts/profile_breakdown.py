@@ -30,6 +30,8 @@ def main():
     tiny = os.environ.get("WEBDGS_PROFILE_SCALE") == "tiny"
     if tiny:
         jax.config.update("jax_platforms", "cpu")
+    from webdgs_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     n = 2_000 if tiny else 100_000
     w, h = (128, 96) if tiny else (800, 600)
     rng = np.random.default_rng(0)

@@ -44,7 +44,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from webdgs_tpu.config import RenderSettings
+    from webdgs_tpu.config import RenderSettings, enable_compilation_cache
+    enable_compilation_cache()
     from webdgs_tpu.core.camera import CameraData, make_camera
     from webdgs_tpu.core.scene import scene_from_arrays
     from webdgs_tpu.ops.loss import psnr

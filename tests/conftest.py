@@ -16,4 +16,8 @@ if os.environ.get("WEBDGS_TEST_TPU") != "1":
     # The env var alone is not enough when a TPU platform plugin is
     # preloaded; the config update reliably pins the suite to CPU.
     jax.config.update("jax_platforms", "cpu")
+else:
+    # on-chip runs reuse compiled executables across tunnel windows
+    from webdgs_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
 jax.config.update("jax_enable_x64", False)

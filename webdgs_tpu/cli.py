@@ -358,6 +358,8 @@ def main(argv=None):
     if os.environ.get("WEBDGS_PLATFORM"):
         import jax
         jax.config.update("jax_platforms", os.environ["WEBDGS_PLATFORM"])
+    from webdgs_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

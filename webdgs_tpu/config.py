@@ -91,6 +91,28 @@ class RenderSettings:
 DEFAULT_SETTINGS = RenderSettings()
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache for this process.
+
+    Entry points (CLI, bench, profiling scripts) call this so FRESH
+    processes reuse compiled executables — the TPU tunnel flaps, the
+    capture scripts probe from fresh subprocesses, and re-paying 20-40 s
+    first-compiles per window wastes most of a short window.  The cache
+    key hashes the HLO, so stale code never produces stale executables.
+
+    ``WEBDGS_COMP_CACHE=0`` disables; ``WEBDGS_COMP_CACHE=<dir>``
+    overrides the location (default ``~/.cache/webdgs_jax``)."""
+    env = os.environ.get("WEBDGS_COMP_CACHE", "")
+    if env in ("0", "false", "False"):
+        return
+    cache_dir = path or env or os.path.expanduser("~/.cache/webdgs_jax")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without these flags: cache is an optimization only
+
+
 @functools.cache
 def use_interpret_mode() -> bool:
     """Whether Pallas kernels should run in interpreter mode.
