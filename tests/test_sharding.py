@@ -533,6 +533,49 @@ def test_gs_adaptive_send_capacity(mesh):
 
 
 @pytest.mark.slow
+def test_gs_trainer_2d_mesh_loop(mesh):
+    """GsTrainer on a 2D dp x band mesh: a short loop crossing a densify
+    boundary runs end to end — per-step view batches over dp, scene/Adam
+    band-sharded, sharded densify event on the band axis."""
+    from jax.sharding import Mesh
+    from webdgs_tpu.core.camera import CameraData
+    from webdgs_tpu.parallel.gs_trainer import GsTrainer
+    from webdgs_tpu.train.config import (DensifyPruneConfig,
+                                         DensifySchedule, TrainerConfig)
+
+    w = h = 32
+    gt = random_scene(12, seed=84)
+    gt = gt.replace(opacity_logits=gt.opacity_logits + 2.0)
+    fy = 0.5 * h / np.tan(np.radians(45.0) / 2)
+    cams, imgs = [], []
+    for i in range(4):
+        pos = (0.2 * i, 0.0, -5.0)
+        img = np.asarray(render(gt, default_camera(w, h, position=pos),
+                                w, h, SETTINGS).image)
+        cams.append(CameraData(id=i, position=np.asarray(pos, np.float32),
+                               rotation=np.eye(3, dtype=np.float32),
+                               fx=fy, fy=fy, width=w, height=h,
+                               img_name=f"v{i}.png"))
+        imgs.append({"name": f"v{i}.png", "image": img, "width": w,
+                     "height": h})
+    cfg = TrainerConfig(densify=DensifyPruneConfig(
+        schedule=DensifySchedule(enabled=True, warmup_iterations=2,
+                                 interval=2, stop_iterations=10),
+        metric_views=2, clone_threshold_count=1, prune_opacity=0.005,
+        max_new_points_per_step=8))
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, ("dp", "band"))
+    tr = GsTrainer(random_scene(8, seed=85), cams, imgs, cfg, SETTINGS,
+                   mesh=mesh2, initial_capacity=64)
+    assert tr.n_step_views == 2 and tr.d_band == 4
+
+    losses = [float(tr.step()["loss"]) for _ in range(4)]
+    assert all(np.isfinite(losses))
+    assert tr.last_densify_iteration is not None
+    assert tr.num_points == int(tr.scene.num_alive()) > 0
+
+
+@pytest.mark.slow
 def test_gs_trainer_nan_rollback(mesh):
     """Failure recovery on the fully-sharded path: the rollback restores a
     HOST optimizer snapshot (the step jits donate opt_state), and
