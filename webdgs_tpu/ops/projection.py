@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from webdgs_tpu.config import RenderSettings
 from webdgs_tpu.core.camera import Camera
-from webdgs_tpu.ops.sh import eval_sh_color
+from webdgs_tpu.ops.sh import eval_sh_color_rows
 
 OPACITY_THRESHOLD = 128.0  # tiled-forward.wgsl:223
 TILE_MARGIN_PX = 2.0  # tiled-forward.wgsl:238
@@ -292,15 +292,22 @@ def _project_gaussians_impl(params, alive, camera, img_w, img_h, sh_deg,
     num_tiles = jnp.where(visible, num_tiles, 0)
 
     # --- SH color (tiled-forward.wgsl:258-261, clamp at :284-285) ---
+    # Row form like the rest of the file: the (N, 16, 3) leaf is viewed as
+    # planar (48, N) once, then the whole evaluation is fused (N,) FMAs —
+    # no (N, k, 3) intermediates (42x lane padding), no tiny batched dot.
     cam_pos = camera.cam_pos
     r0, r1, r2 = m0 - cam_pos[0], m1 - cam_pos[1], m2 - cam_pos[2]
     norm = jnp.sqrt(jnp.maximum(r0 * r0 + r1 * r1 + r2 * r2, 1e-24))
-    dirs = jnp.stack([r0 / norm, r1 / norm, r2 / norm], axis=-1)
-    sh_in = sh
+    dx, dy, dz = r0 / norm, r1 / norm, r2 / norm
+    sh_planar = sh.reshape(sh.shape[0], 48).T
     if detach_color:
-        sh_in = jax.lax.stop_gradient(sh_in)
-        dirs = jax.lax.stop_gradient(dirs)
-    color = jnp.clip(eval_sh_color(sh_in, dirs, sh_deg), 0.0, 1.0)
+        sh_planar = jax.lax.stop_gradient(sh_planar)
+        dx = jax.lax.stop_gradient(dx)
+        dy = jax.lax.stop_gradient(dy)
+        dz = jax.lax.stop_gradient(dz)
+    col0, col1, col2 = eval_sh_color_rows(sh_planar, dx, dy, dz, sh_deg)
+    color = jnp.stack([jnp.clip(col0, 0.0, 1.0), jnp.clip(col1, 0.0, 1.0),
+                       jnp.clip(col2, 0.0, 1.0)], axis=-1)
 
     attrs = SplatAttrs(
         center_px=jnp.stack([cx, cy], axis=-1),

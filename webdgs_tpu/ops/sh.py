@@ -56,6 +56,10 @@ def eval_sh_color(sh: jnp.ndarray, dirs: jnp.ndarray, sh_deg: int) -> jnp.ndarra
     (tiled-forward.wgsl:116-118).
 
     sh: (N, 16, 3); dirs: (N, 3) unit vectors; returns (N, 3).
+
+    Kept as the dense-einsum oracle for tests; the projection hot path uses
+    the row-form :func:`eval_sh_color_rows` (same math, same f32 sum order —
+    sequential over k).
     """
     if not 0 <= sh_deg <= 3:
         raise ValueError(f"unsupported sh_deg {sh_deg}")
@@ -67,3 +71,62 @@ def eval_sh_color(sh: jnp.ndarray, dirs: jnp.ndarray, sh_deg: int) -> jnp.ndarra
     color = jnp.einsum("nk,nkc->nc", basis, sh[:, :k, :],
                        precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(color + 0.5, 0.0)
+
+
+def sh_basis_rows(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, k: int):
+    """The first ``k`` SH basis functions as a tuple of (N,) rows.
+
+    Same polynomials as :func:`sh_basis` but never stacks: each basis value
+    stays an unpadded (N,) vector on the VPU, matching the row-form
+    projection (projection.py design note)."""
+    out = [SH_C0 * jnp.ones_like(x)]
+    if k > 1:
+        out += [-SH_C1 * y, SH_C1 * z, -SH_C1 * x]
+    if k > 4:
+        xx, yy, zz = x * x, y * y, z * z
+        out += [
+            SH_C2[0] * (x * y),
+            SH_C2[1] * (y * z),
+            SH_C2[2] * (2.0 * zz - xx - yy),
+            SH_C2[3] * (x * z),
+            SH_C2[4] * (xx - yy),
+        ]
+    if k > 9:
+        out += [
+            SH_C3[0] * y * (3.0 * xx - yy),
+            SH_C3[1] * (x * y) * z,
+            SH_C3[2] * y * (4.0 * zz - xx - yy),
+            SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+            SH_C3[4] * x * (4.0 * zz - xx - yy),
+            SH_C3[5] * z * (xx - yy),
+            SH_C3[6] * x * (xx - 3.0 * yy),
+        ]
+    return tuple(out[:k])
+
+
+def eval_sh_color_rows(sh_planar: jnp.ndarray, x: jnp.ndarray,
+                       y: jnp.ndarray, z: jnp.ndarray, sh_deg: int):
+    """Row-form SH -> RGB: three (N,) color rows from planar coefficients.
+
+    ``sh_planar``: (48, N) — row ``3*k + c`` is coefficient ``k``, channel
+    ``c`` (the transpose of the scene's (N, 16, 3) leaf flattened to
+    (N, 48)).  ``x/y/z``: unit-direction (N,) rows.
+
+    TPU note: the einsum form materializes (N, k, 3) intermediates whose
+    minor dim 3 tile-pads to 128 lanes (~42x traffic) and lowers to a tiny
+    batched dot; this form is 3*k fused FMAs over unpadded (N,) rows — pure
+    VPU, nothing materialized.  The k-ascending f32 sum order differs from
+    the einsum oracle's reduction tree by ulps (<=5e-7 observed); deg 0 is
+    bit-exact.
+    """
+    if not 0 <= sh_deg <= 3:
+        raise ValueError(f"unsupported sh_deg {sh_deg}")
+    k = NUM_COEFFS[sh_deg]
+    basis = sh_basis_rows(x, y, z, k)
+    colors = []
+    for c in range(3):
+        acc = basis[0] * sh_planar[c]
+        for kk in range(1, k):
+            acc = acc + basis[kk] * sh_planar[3 * kk + c]
+        colors.append(jnp.maximum(acc + 0.5, 0.0))
+    return colors[0], colors[1], colors[2]
