@@ -184,6 +184,27 @@ def test_sh_eval_matches_reference_formula():
                                    err_msg=f"deg {deg}")
 
 
+def test_sh_rows_matches_einsum_oracle():
+    """The projection hot path's row-form SH (planar (48, N) coefficients,
+    fused (N,) FMAs) vs the dense-einsum oracle, all degrees."""
+    from webdgs_tpu.ops.sh import eval_sh_color, eval_sh_color_rows
+
+    rng = np.random.default_rng(78)
+    n = 64
+    sh = rng.normal(0, 0.5, (n, 16, 3)).astype(np.float32)
+    dirs = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    planar = jnp.asarray(sh.reshape(n, 48).T)
+    dx, dy, dz = (jnp.asarray(dirs[:, i]) for i in range(3))
+    for deg in range(4):
+        want = np.asarray(eval_sh_color(jnp.asarray(sh), jnp.asarray(dirs),
+                                        deg))
+        r0, r1, r2 = eval_sh_color_rows(planar, dx, dy, dz, deg)
+        got = np.stack([np.asarray(r0), np.asarray(r1), np.asarray(r2)], -1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"deg {deg}")
+
+
 def test_bf16x3_error_budget():
     """The production bf16x3 matmul tier must stay within an f16-class
     error budget of the f32-exact tier (the class the reference's packed
