@@ -11,7 +11,6 @@ import numpy as np
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
     from webdgs_tpu.config import RenderSettings
