@@ -245,7 +245,14 @@ class ViewerServer:
         if self._train_thread is not None:
             self._train_thread.join(timeout=30)
 
-    def handle_control(self, msg: dict) -> None:
+    CONTROL_KEYS = frozenset((
+        "move", "roll", "drag", "wheel", "dt", "toggle_mode", "toggle_train",
+        "config", "gaussian_scale_delta", "point_size_delta", "resize"))
+
+    def handle_control(self, msg: dict) -> list[str]:
+        """Apply a control message; returns any unrecognized keys so a
+        malformed client payload (e.g. a config partial missing its
+        ``config`` wrapper) fails loudly instead of silently no-oping."""
         ctl = self.viewer.control
         if any(k in msg for k in ("move", "roll", "drag", "wheel")):
             self._last_input = time.monotonic()
@@ -294,6 +301,7 @@ class ViewerServer:
                 h = int(np.clip((int(h) // 64) * 64, 64, 2160))
                 if (w, h) != (self.viewer.width, self.viewer.height):
                     self.viewer.width, self.viewer.height = w, h
+        return [k for k in msg if k not in self.CONTROL_KEYS]
 
     def stats(self) -> dict:
         """HUD stats, the analogue of the reference's live widget
@@ -413,8 +421,10 @@ def make_http_server(vs: ViewerServer, host: str, port: int):
             if self.path == "/control":
                 length = int(self.headers.get("Content-Length", 0))
                 msg = json.loads(self.rfile.read(length) or b"{}")
-                vs.handle_control(msg)
-                self._send(200, b"{}", "application/json")
+                unknown = vs.handle_control(msg)
+                body = (json.dumps({"unknown_keys": unknown}).encode()
+                        if unknown else b"{}")
+                self._send(200, body, "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
 
