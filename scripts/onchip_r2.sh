@@ -26,6 +26,13 @@ run_profile() {
     timeout 1200 python scripts/profile_breakdown.py
 }
 
+run_trace() {
+    # op-level xplane trace of the full step; the .xplane.pb persists under
+    # /tmp/jaxtrace_r3 for offline re-analysis after the tunnel drops
+    echo "== op-level trace =="
+    timeout 900 python scripts/trace_step.py /tmp/jaxtrace_r3
+}
+
 run_bench() {
     echo "== headline bench =="
     timeout 1200 python bench.py | tee /tmp/bench_r3_headline.json
@@ -82,6 +89,7 @@ run_bench_ckpt() {
 case "$STAGE" in
     tests) run_tests ;;
     profile) run_profile ;;
+    trace) run_trace ;;
     bench) run_bench ;;
     bench1m) run_bench1m ;;
     sweep) run_sweep ;;
@@ -92,6 +100,7 @@ case "$STAGE" in
         # Non-fatal sequencing; report every rc at the end.
         run_bench;   rc_bench=$?
         run_profile; rc_profile=$?
+        run_trace
         run_sweep;   rc_sweep=$?
         run_tests;   rc_tests=$?
         run_bench1m; rc_1m=$?

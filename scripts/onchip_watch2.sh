@@ -13,7 +13,7 @@ MAX_HOURS="${1:-11}"
 LOG=/tmp/onchip_r3.log
 DEADLINE=$(( $(date +%s) + MAX_HOURS * 3600 ))
 # cheapest, highest-value first (windows can be ~26 min total)
-STAGES="bench profile sweep tests bench1m train30k benchckpt"
+STAGES="bench profile trace sweep tests bench1m train30k benchckpt"
 
 echo "[watch2] start $(date -u +%H:%M:%S) max_hours=$MAX_HOURS" | tee -a "$LOG"
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do

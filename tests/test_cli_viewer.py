@@ -314,6 +314,14 @@ def test_serve_train_live():
         jpg = urllib.request.urlopen(f"{url}/frame.jpg", timeout=120).read()
         assert jpg[:2] == b"\xff\xd8"
         assert viewer.scene is trainer.scene
+
+        # malformed payloads fail loudly: a config partial missing its
+        # 'config' wrapper is reported, not silently no-oped
+        req = urllib.request.Request(f"{url}/control",
+                                     data=b'{"adam": {"lr_pos": 0.0}}',
+                                     method="POST")
+        resp = _json.loads(urllib.request.urlopen(req, timeout=60).read())
+        assert resp == {"unknown_keys": ["adam"]}
     finally:
         server.shutdown()
         vs.shutdown()
