@@ -107,7 +107,9 @@ case "$STAGE" in
         run_train30k; rc_30k=$?
         run_bench_ckpt
         echo "RCs: bench=$rc_bench profile=$rc_profile sweep=$rc_sweep tests=$rc_tests bench1m=$rc_1m train30k=$rc_30k"
-        exit $(( rc_bench | rc_profile | rc_tests ))
+        # every collected rc participates, so a watcher driving stage=all
+        # retries a window where only sweep/bench1m/train30k failed
+        exit $(( rc_bench | rc_profile | rc_tests | rc_sweep | rc_1m | rc_30k ))
         ;;
     *) echo "unknown stage $STAGE"; exit 1 ;;
 esac

@@ -270,7 +270,11 @@ def test_serve_train_live():
                                fx=fy, fy=fy, width=w, height=h))
         imgs.append({"name": f"v{i}", "image": img, "width": w, "height": h})
 
-    cfg = TrainerConfig(max_iterations=1000)  # paused by the test, not the cap
+    from webdgs_tpu.train.config import AdamHyperparameters
+    # non-default lr_pos: proves /stats reports the RUNNING config (which
+    # seeds the page's sliders), not the stock defaults
+    cfg = TrainerConfig(max_iterations=1000,  # paused by the test, not the cap
+                        adam=AdamHyperparameters(lr_pos=5e-4))
     trainer = Trainer(random_scene(8, seed=81), cams, imgs, cfg, settings)
     viewer = Viewer(trainer.scene, w, h, settings)
     viewer.control.position = np.array([0, 0, -5.0], np.float32)
@@ -296,6 +300,10 @@ def test_serve_train_live():
         assert tr["max_iterations"] == 1000
         assert tr["next_densify"] == 500  # warmup default
         assert tr["loss"] is not None and tr["psnr"] is not None
+        # live config leaves ride /stats by dotted path (slider sync)
+        assert tr["config"]["adam.lr_pos"] == 5e-4
+        assert tr["config"]["loss.lambda_l1"] == 0.8
+        assert tr["config"]["densify.schedule.interval"] == 100
 
         # pause via the control endpoint (T key in the page)
         req = urllib.request.Request(f"{url}/control",
@@ -377,37 +385,9 @@ def test_nan_rollback():
     assert np.isfinite(np.asarray(tr.scene.means)).all()
 
 
-def _tiny_trainer(max_iterations=100, **trainer_kw):
-    """One-view trainer on a 32x32 synthetic scene (shared test harness)."""
-    from webdgs_tpu.core.camera import CameraData, default_camera
-    from webdgs_tpu.config import RenderSettings
-    from webdgs_tpu.render.renderer import render
-    from webdgs_tpu.train.config import (DensifyPruneConfig, DensifySchedule,
-                                         TrainerConfig)
-    from webdgs_tpu.train.trainer import Trainer
-
-    w = h = 32
-    settings = RenderSettings(chunk=128)
-    gt = random_scene(10, seed=95)
-    gt = gt.replace(opacity_logits=gt.opacity_logits + 2.0)
-    fy = 0.5 * h / np.tan(np.radians(45.0) / 2)
-    cam = default_camera(w, h, position=(0, 0, -5.0))
-    img = np.asarray(render(gt, cam, w, h, settings).image)
-    cams = [CameraData(id=0, position=np.zeros(3, np.float32),
-                       rotation=np.eye(3, dtype=np.float32),
-                       fx=fy, fy=fy, width=w, height=h)]
-    imgs = [{"name": "v0", "image": img, "width": w, "height": h}]
-    cfg = TrainerConfig(max_iterations=max_iterations,
-                        densify=DensifyPruneConfig(
-                            schedule=DensifySchedule(enabled=False)))
-    return Trainer(random_scene(8, seed=96), cams, imgs, cfg, settings,
-                   **trainer_kw)
-
-
-def test_evaluate_max_views_bucket():
-    """evaluate(max_views=k) renders a power-of-two bucket >= k, not the
-    whole group (O(k) device work) and not exactly k (which would compile
-    per distinct count)."""
+def _tiny_trainer(max_iterations=100, n_views=1, **trainer_kw):
+    """Trainer on a 32x32 synthetic scene with ``n_views`` lateral-offset
+    views (shared test harness)."""
     from webdgs_tpu.core.camera import CameraData, default_camera
     from webdgs_tpu.config import RenderSettings
     from webdgs_tpu.render.renderer import render
@@ -421,7 +401,7 @@ def test_evaluate_max_views_bucket():
     gt = gt.replace(opacity_logits=gt.opacity_logits + 2.0)
     fy = 0.5 * h / np.tan(np.radians(45.0) / 2)
     cams, imgs = [], []
-    for i in range(5):
+    for i in range(n_views):
         pos = (0.1 * i, 0.0, -5.0)
         img = np.asarray(render(gt, default_camera(w, h, position=pos),
                                 w, h, settings).image)
@@ -429,9 +409,18 @@ def test_evaluate_max_views_bucket():
                                rotation=np.eye(3, dtype=np.float32),
                                fx=fy, fy=fy, width=w, height=h))
         imgs.append({"name": f"v{i}", "image": img, "width": w, "height": h})
-    cfg = TrainerConfig(densify=DensifyPruneConfig(
-        schedule=DensifySchedule(enabled=False)))
-    tr = Trainer(random_scene(8, seed=96), cams, imgs, cfg, settings)
+    cfg = TrainerConfig(max_iterations=max_iterations,
+                        densify=DensifyPruneConfig(
+                            schedule=DensifySchedule(enabled=False)))
+    return Trainer(random_scene(8, seed=96), cams, imgs, cfg, settings,
+                   **trainer_kw)
+
+
+def test_evaluate_max_views_bucket():
+    """evaluate(max_views=k) renders a power-of-two bucket >= k, not the
+    whole group (O(k) device work) and not exactly k (which would compile
+    per distinct count)."""
+    tr = _tiny_trainer(n_views=5)
 
     sizes = []
     orig = tr._eval_fn

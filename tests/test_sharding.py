@@ -648,8 +648,10 @@ def test_gaussian_sharded_render_f16_class(mesh):
 @pytest.mark.slow
 def test_gs_train_step_f16_class(mesh):
     """Fully-sharded step with the default f16 exchange: the update must
-    stay within the f16 class of the single-device step (gradients also
-    cross the wire as f16 through the autodiff transpose)."""
+    stay within the f16 class of the single-device step.  Only the FORWARD
+    entry rows cross the wire as f16 — the autodiff transpose deliberately
+    sends cotangents in f32 (see exchange_bwd in parallel/sharding.py), so
+    the error here is the forward quantization alone."""
     from webdgs_tpu.parallel.sharding import gs_train_step
     from webdgs_tpu.train.step import train_step
 

@@ -64,6 +64,7 @@ const SLIDERS = [
   ['densify.prune_opacity',     'prune opacity', 0, 0.2, 0.01],
 ];
 const cfgDiv = document.getElementById('cfg');
+const sliderRefs = [];  // synced to the live trainer config on first /stats
 for (const [path, label, lo, hi, init] of SLIDERS) {
   const row = document.createElement('div');
   row.innerHTML = `<label style="display:inline-block;width:130px">${label}</label>
@@ -86,7 +87,20 @@ for (const [path, label, lo, hi, init] of SLIDERS) {
       post({config: cfg});
     }, 250);
   };
+  sliderRefs.push([path, inp, val]);
   cfgDiv.appendChild(row);
+}
+// the init constants above are only placeholders: the running config may
+// carry CLI/--config overrides, so sliders snap to the live values (the
+// reference's sliders and its configs share one source, main.ts:234-372)
+function syncSliders(s) {
+  if (!s.trainer || !s.trainer.config) return;
+  for (const [path, inp, val] of sliderRefs) {
+    if (path in s.trainer.config) {
+      inp.value = s.trainer.config[path];
+      val.textContent = (+inp.value).toPrecision(3);
+    }
+  }
 }
 let keys = {}, drag = null, wheel = 0;
 onkeydown = e => { keys[e.code] = true; if(e.code=='KeyP') post({toggle_mode:1});
@@ -119,6 +133,7 @@ async function loop() {
   sendResize();
   const s0 = await (await fetch('/stats')).json();
   c.width = s0.width; c.height = s0.height;
+  syncSliders(s0);
   while (true) {
     const r = await fetch((showLoss ? '/loss.jpg?' : '/frame.jpg?') + Date.now());
     const b = await r.blob();
@@ -148,6 +163,27 @@ setInterval(async () => {
 }, 1000);
 </script></body></html>
 """
+
+
+def _flatten_config(cfg) -> dict:
+    """TrainerConfig -> {'adam.lr_pos': 0.00016, ...}: every scalar leaf of
+    the nested frozen dataclasses keyed by its dotted path (the same paths
+    the page's slider table and /control deep partials use)."""
+    import dataclasses
+
+    flat: dict = {}
+
+    def walk(obj, prefix):
+        for f in dataclasses.fields(obj):
+            val = getattr(obj, f.name)
+            path = f"{prefix}{f.name}"
+            if dataclasses.is_dataclass(val):
+                walk(val, path + ".")
+            elif isinstance(val, (int, float, bool)):
+                flat[path] = val
+
+    walk(cfg, "")
+    return flat
 
 
 class ViewerServer:
@@ -330,6 +366,10 @@ class ViewerServer:
                 "training": self.training,
                 "error": self.train_error,
                 "holdout_psnr": self.holdout_psnr,
+                # live config leaves by dotted path, so the page's sliders
+                # show the RUNNING values (CLI/--config overrides included),
+                # not their hardcoded init constants
+                "config": _flatten_config(tr.config),
             }
         return out
 
