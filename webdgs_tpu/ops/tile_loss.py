@@ -184,7 +184,10 @@ def _loss_kernel(rb_ref, cl_ref, cc_ref, cr_ref, ul_ref, uc_ref, ur_ref,
         (p_px, NUM_OUT - OUT_T - 1), jnp.float32)
 
     zero = jnp.zeros((), jnp.float32)
-    sums_ref[0:1, :] = jnp.stack(
+    # (1, 1, 8) block: the singleton middle dim makes the block's last two
+    # dims equal the array dims, which Mosaic's layout rules require (a
+    # (1, 8) block over an (n_tiles, 8) array is rejected on hardware)
+    sums_ref[0] = jnp.stack(
         [s_abs, s_sq, s_ds, jnp.sum(valid),
          zero, zero, zero, zero]).reshape(1, 8)
 
@@ -235,7 +238,7 @@ def tile_loss_gradient(out: jax.Array, target: jax.Array, img_w: int,
     ]
     out_specs = [
         pl.BlockSpec((1, p_px, NUM_OUT), lambda t: (t, 0, 0)),
-        pl.BlockSpec((1, 8), lambda t: (t, 0)),
+        pl.BlockSpec((1, 1, 8), lambda t: (t, 0, 0)),
     ]
     kernel = functools.partial(
         _loss_kernel, ntx=ntx, nty=nty, img_w=img_w, img_h=img_h,
@@ -247,7 +250,7 @@ def tile_loss_gradient(out: jax.Array, target: jax.Array, img_w: int,
         out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, p_px, NUM_OUT), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, 8), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((th + 2 * HALF, tw + 2 * HALF, 3), jnp.float32),
@@ -257,7 +260,7 @@ def tile_loss_gradient(out: jax.Array, target: jax.Array, img_w: int,
     )(jnp.zeros((1,), jnp.int32), out, out, out, out, out, out, out, out,
       out, target)
 
-    return dpix, metrics_from_sums(jnp.sum(sums, axis=0), cfg)
+    return dpix, metrics_from_sums(jnp.sum(sums[:, 0, :], axis=0), cfg)
 
 
 def metrics_from_sums(tot: jax.Array, cfg: LossConfig) -> dict:
@@ -342,7 +345,7 @@ def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
     ]
     out_specs = [
         pl.BlockSpec((1, p_px, NUM_OUT), lambda t: (t, 0, 0)),
-        pl.BlockSpec((1, 8), lambda t: (t, 0)),
+        pl.BlockSpec((1, 1, 8), lambda t: (t, 0, 0)),
     ]
     kernel = functools.partial(
         _loss_kernel, ntx=ntx, nty=rows, img_w=img_w, img_h=img_h,
@@ -354,7 +357,7 @@ def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
         out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((band_tiles, p_px, NUM_OUT), jnp.float32),
-            jax.ShapeDtypeStruct((band_tiles, 8), jnp.float32),
+            jax.ShapeDtypeStruct((band_tiles, 1, 8), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((th + 2 * HALF, tw + 2 * HALF, 3), jnp.float32),
@@ -363,4 +366,4 @@ def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
         interpret=use_interpret_mode(),
     )(row_base.reshape(1).astype(jnp.int32), out, out, out,
       above, above, above, below, below, below, target)
-    return dpix, sums
+    return dpix, sums[:, 0, :]
