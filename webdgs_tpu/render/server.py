@@ -51,24 +51,45 @@ const c = document.getElementById('c'), ctx = c.getContext('2d');
 // live hyperparameter sliders, the reference's training controls
 // (index.html:105-179 ranges; main.ts:301-372 wiring) — each input posts a
 // deep-partial config update applied to the NEXT training step
+// [path, label, lo, hi, init, isInt] — ranges mirror the reference's
+// control panel (index.html:105-212) plus the densify knobs it keeps
+// config-only (trainer.ts:147-164)
 const SLIDERS = [
-  ['adam.lr_pos',     'lr position', 0, 0.001,  0.00016],
-  ['adam.lr_rot',     'lr rotation', 0, 0.01,   0.001],
-  ['adam.lr_scale',   'lr scale',    0, 0.05,   0.005],
-  ['adam.lr_opacity', 'lr opacity',  0, 0.2,    0.05],
-  ['adam.lr_color',   'lr color',    0, 0.02,   0.0025],
-  ['loss.lambda_l1',  'lambda L1',   0, 1,      0.8],
-  ['loss.lambda_dssim','lambda DSSIM',0, 1,     0.2],
-  ['densify.schedule.interval', 'densify interval', 25, 1000, 100],
-  ['densify.metric_threshold',  'metric threshold', 0, 1, 0.5],
-  ['densify.prune_opacity',     'prune opacity', 0, 0.2, 0.01],
+  ['max_iterations',  'iterations',  1000, 50000, 10000, 1],
+  ['adam.lr_pos',     'lr position', 0, 0.001,  0.00016, 0],
+  ['adam.lr_rot',     'lr rotation', 0, 0.01,   0.001, 0],
+  ['adam.lr_scale',   'lr scale',    0, 0.05,   0.005, 0],
+  ['adam.lr_opacity', 'lr opacity',  0, 0.2,    0.05, 0],
+  ['adam.lr_color',   'lr color',    0, 0.02,   0.0025, 0],
+  ['loss.lambda_l1',  'lambda L1',   0, 1,      0.8, 0],
+  ['loss.lambda_l2',  'lambda L2',   0, 1,      0.0, 0],
+  ['loss.lambda_dssim','lambda DSSIM',0, 1,     0.2, 0],
+  ['densify.schedule.warmup_iterations', 'densify warmup', 0, 5000, 500, 1],
+  ['densify.schedule.interval', 'densify interval', 10, 500, 100, 1],
+  ['densify.schedule.stop_iterations', 'densify stop', 1000, 50000, 15000, 1],
+  ['densify.metric_threshold',  'metric threshold', 0, 1, 0.5, 0],
+  ['densify.prune_opacity',     'prune opacity', 0, 0.2, 0.01, 0],
 ];
 const cfgDiv = document.getElementById('cfg');
+const lossWarn = document.createElement('div');
+lossWarn.style.cssText = 'color:#e0a030;max-width:360px;display:none';
+cfgDiv.appendChild(lossWarn);
 const sliderRefs = [];  // synced to the live trainer config on first /stats
-for (const [path, label, lo, hi, init] of SLIDERS) {
+// the reference warns when the loss weights drift off sum 1
+// (main.ts:301-321); same check, live on every lambda change
+function checkLossSum() {
+  let sum = 0;
+  for (const [path, inp] of sliderRefs)
+    if (path.startsWith('loss.lambda')) sum += +inp.value;
+  lossWarn.textContent = Math.abs(sum - 1) > 0.01
+    ? `loss weights sum to ${sum.toFixed(2)} (expected 1.0): ` +
+      'the effective learning rate scales with the sum' : '';
+  lossWarn.style.display = lossWarn.textContent ? 'block' : 'none';
+}
+for (const [path, label, lo, hi, init, isInt] of SLIDERS) {
   const row = document.createElement('div');
   row.innerHTML = `<label style="display:inline-block;width:130px">${label}</label>
-    <input type="range" min="${lo}" max="${hi}" step="${(hi-lo)/200}" value="${init}"
+    <input type="range" min="${lo}" max="${hi}" step="${isInt ? Math.max(1, Math.round((hi-lo)/200)) : (hi-lo)/200}" value="${init}"
      style="width:160px;vertical-align:middle">
     <span style="display:inline-block;width:70px">${init}</span>`;
   const inp = row.querySelector('input'), val = row.querySelector('span');
@@ -77,13 +98,13 @@ for (const [path, label, lo, hi, init] of SLIDERS) {
   let cfgTimer = null;
   inp.oninput = () => {
     val.textContent = (+inp.value).toPrecision(3);
+    checkLossSum();
     clearTimeout(cfgTimer);
     cfgTimer = setTimeout(() => {
       const cfg = {}; let o = cfg;
       const parts = path.split('.');
       for (let i = 0; i < parts.length - 1; i++) o = o[parts[i]] = {};
-      const intKeys = path.includes('interval');
-      o[parts[parts.length-1]] = intKeys ? Math.round(+inp.value) : +inp.value;
+      o[parts[parts.length-1]] = isInt ? Math.round(+inp.value) : +inp.value;
       post({config: cfg});
     }, 250);
   };
@@ -101,6 +122,7 @@ function syncSliders(s) {
       val.textContent = (+inp.value).toPrecision(3);
     }
   }
+  checkLossSum();
 }
 let keys = {}, drag = null, wheel = 0;
 onkeydown = e => { keys[e.code] = true; if(e.code=='KeyP') post({toggle_mode:1});
