@@ -35,6 +35,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from webdgs_tpu.core.scene import GaussianScene
@@ -278,12 +279,13 @@ class GsTrainer(Trainer):
         import time
         t0 = time.perf_counter()
         (w, h), g = self._pick_group()
+        # numpy, not jnp: a jnp constructor is an eager per-step device op
         if self.n_step_views > 1:
-            idx = jnp.asarray(
+            idx = np.asarray(
                 [self.rng.randrange(g["count"])
-                 for _ in range(self.n_step_views)], dtype=jnp.int32)
+                 for _ in range(self.n_step_views)], dtype=np.int32)
         else:
-            idx = jnp.int32(self.rng.randrange(g["count"]))
+            idx = np.int32(self.rng.randrange(g["count"]))
         self.scene, self.opt_state, metrics = self._indexed_gs_step(
             self.scene, self.opt_state, g["cams"], g["imgs"], idx, w, h,
             self._gs_entry_cap, self._gs_send_cap)

@@ -225,9 +225,12 @@ class Trainer:
 
         if self.mesh is not None and self.mesh.devices.size > 1:
             d = self.mesh.devices.size
-            idxs = jnp.asarray(
+            # numpy (not jnp): a jnp constructor here is an EAGER device op
+            # dispatched every step (~ms of host time); jit transfers the
+            # numpy value as part of the call instead
+            idxs = np.asarray(
                 [self.rng.randrange(g["count"]) for _ in range(d)],
-                dtype=jnp.int32)
+                dtype=np.int32)
             self.scene, self.opt_state, metrics = self._indexed_dp_step(
                 self.scene, self.opt_state, g["cams"], g["imgs"], idxs,
                 w, h, self._entry_cap())
@@ -237,7 +240,7 @@ class Trainer:
             idx = self.rng.randrange(g["count"])
             self.scene, self.opt_state, metrics = self._indexed_step(
                 self.scene, self.opt_state, g["cams"], g["imgs"],
-                jnp.int32(idx), w, h, self._entry_cap())
+                np.int32(idx), w, h, self._entry_cap())
             self.iteration += 1
             self._maybe_adapt_entry_cap(metrics)
 
