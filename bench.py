@@ -73,7 +73,7 @@ def main():
     from webdgs_tpu.config import RenderSettings
     from webdgs_tpu.core.camera import default_camera
     from webdgs_tpu.ops.adam import init_adam_state
-    from webdgs_tpu.render.renderer import render
+    from webdgs_tpu.render.renderer import render, render_compiled
     from webdgs_tpu.train.step import train_step
 
     n = 500 if tiny else 100_000
@@ -149,12 +149,14 @@ def main():
     # Rendered Mpix/s/chip: forward-only frames at the same scene/viewport,
     # with the same adaptive entry capacity a Viewer would settle on.
     # (`scene` was donated to the first step; render the final state `s`.)
-    img = render(s, cam, w, h, settings, entry_capacity=cap).image
+    img = render_compiled(s, cam, img_w=w, img_h=h, settings=settings,
+                          entry_capacity=cap).image
     img.block_until_ready()
     frames = 3 if tiny else 20
     t0 = time.perf_counter()
     for _ in range(frames):
-        img = render(s, cam, w, h, settings, entry_capacity=cap).image
+        img = render_compiled(s, cam, img_w=w, img_h=h, settings=settings,
+                              entry_capacity=cap).image
     img.block_until_ready()
     fdt = (time.perf_counter() - t0) / frames
     mpix_per_sec = (w * h / 1e6) / fdt

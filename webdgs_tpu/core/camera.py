@@ -127,12 +127,17 @@ def make_camera(data: CameraData, width: int | None = None,
     rot = data.rotation if data.rotation is not None else np.eye(3)
     pos = data.position if data.position is not None else np.zeros(3)
 
+    # numpy leaves, not jnp: building a Camera must not dispatch eager
+    # device ops — the viewer builds one per FRAME (five tiny transfers
+    # each), and jit transfers numpy args as part of the call anyway.
+    # Trainer groups stack these onto the device once at init
+    # (_group_views' jnp.stack).
     return Camera(
-        view=jnp.asarray(view_matrix(rot, pos)),
-        proj=jnp.asarray(projection_matrix(fov_x, fov_y)),
-        cam_pos=jnp.asarray(np.asarray(pos, dtype=np.float32)),
-        focal=jnp.asarray(np.array([focal, focal], dtype=np.float32)),
-        viewport=jnp.asarray(np.array([width, height], dtype=np.float32)),
+        view=np.asarray(view_matrix(rot, pos), dtype=np.float32),
+        proj=np.asarray(projection_matrix(fov_x, fov_y), dtype=np.float32),
+        cam_pos=np.asarray(pos, dtype=np.float32),
+        focal=np.array([focal, focal], dtype=np.float32),
+        viewport=np.array([width, height], dtype=np.float32),
     )
 
 

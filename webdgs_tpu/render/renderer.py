@@ -8,6 +8,7 @@ function.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -113,3 +114,18 @@ def render(scene: GaussianScene, camera: Camera, img_w: int, img_h: int,
         aux=aux,
         binning=bins,
     )
+
+
+# Jitted entry points for EAGER callers (viewer frames, orbit export,
+# bench).  ``render``/``render_points`` above are traceable building blocks
+# — called bare, every one of their few hundred ops dispatches as its own
+# device execution, which costs more than the render itself at interactive
+# frame rates (the reference has no analogue: one command buffer per frame
+# is its native shape, viewer.ts:71-100).  Jit-calling code (train step,
+# evaluate, importance) keeps composing the bare functions.
+render_compiled = functools.partial(
+    jax.jit, static_argnames=("img_w", "img_h", "settings",
+                              "entry_capacity"))(render)
+render_points_compiled = functools.partial(
+    jax.jit, static_argnames=("img_w", "img_h", "settings",
+                              "point_size_px"))(render_points)

@@ -14,7 +14,7 @@ from webdgs_tpu.config import DEFAULT_SETTINGS, RenderSettings
 from webdgs_tpu.core.camera import Camera, CameraData, make_camera
 from webdgs_tpu.core.scene import GaussianScene
 from webdgs_tpu.render.camera_control import FlyCamera
-from webdgs_tpu.render.renderer import render, render_points
+from webdgs_tpu.render.renderer import render_compiled, render_points_compiled
 
 
 def save_png(path: str | os.PathLike, image: np.ndarray) -> None:
@@ -120,11 +120,13 @@ class Viewer:
         h = max(1, self.height // downscale)
         cam = self.camera(w, h)
         if self.render_mode == "pointcloud":
-            img = render_points(self.scene, cam, w, h, self.settings,
-                                self.point_size_px)
+            img = render_points_compiled(self.scene, cam, img_w=w, img_h=h,
+                                         settings=self.settings,
+                                         point_size_px=self.point_size_px)
             return np.asarray(img)
-        res = render(self.scene, cam, w, h, self.settings,
-                     entry_capacity=self._entry_cap)
+        res = render_compiled(self.scene, cam, img_w=w, img_h=h,
+                              settings=self.settings,
+                              entry_capacity=self._entry_cap)
         if downscale == 1:
             observed = int(res.binning.total_entries)
             chunk = self.settings.chunk
@@ -171,7 +173,8 @@ def render_orbit(scene: GaussianScene, out_dir: str | os.PathLike,
     paths = []
     for i, cam in enumerate(orbit_cameras(center, radius, n_frames,
                                           width, height)):
-        img = render(scene, cam, width, height, settings).image
+        img = render_compiled(scene, cam, img_w=width, img_h=height,
+                              settings=settings).image
         p = os.path.join(out_dir, f"frame_{i:04d}.png")
         save_png(p, np.asarray(img))
         paths.append(p)

@@ -291,7 +291,9 @@ class Trainer:
         changes (e.g. odd dimensions under integer downscale)."""
         h = cams.viewport[:, 1]
         f_m = cams.focal[:, 1] * (mh / h)  # = 0.5*mh/tan(fovY/2)
-        proj = cams.proj
+        # jnp.asarray: camera leaves may be numpy (make_camera builds host
+        # cameras; only the trainer's grouped batches live on device)
+        proj = jnp.asarray(cams.proj)
         proj = proj.at[:, 0, 0].set(2.0 * f_m / mw)
         proj = proj.at[:, 1, 1].set(-2.0 * f_m / mh)
         return Camera(
@@ -438,7 +440,9 @@ class Trainer:
                 for i in range(g["count"])]
         (w, h), g, i = flat[index]
         cam = jax.tree.map(lambda x: x[i], g["cams"])
-        return render(self.scene, cam, w, h, self.settings).image
+        from webdgs_tpu.render.renderer import render_compiled
+        return render_compiled(self.scene, cam, img_w=w, img_h=h,
+                               settings=self.settings).image
 
     @functools.cached_property
     def _loss_map_fn(self):
