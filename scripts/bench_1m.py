@@ -37,7 +37,9 @@ def main():
 
     target = img
     opt = init_adam_state(scene.params())
-    sc, o, m = train_step(scene, opt, cam, target, img_w=w, img_h=h, settings=s)
+    probe = jax.jit(lambda sc_, o_: train_step(
+        sc_, o_, cam, target, img_w=w, img_h=h, settings=s))
+    sc, o, m = probe(scene, opt)
     _ = float(jnp.sum(sc.means))
     print(f"entries: {int(m['tile_entries'])} visible: {int(m['visible'])}",
           flush=True)
