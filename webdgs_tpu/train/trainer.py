@@ -44,6 +44,21 @@ def _round_capacity(n: int, granule: int = 4096) -> int:
     return max(-(-n // granule) * granule, granule)
 
 
+def quantize_budget(want: int, chunk: int, floor: int) -> int:
+    """Round a capacity request UP to a coarse geometric ladder (~8 rungs
+    per octave), in ``chunk`` multiples.
+
+    Every distinct value of a static budget is a separate XLA compilation
+    (20-40 s on a real chip), so a budget that tracks a steadily-growing
+    observation (entry counts during densification) must move in rungs,
+    not chunk steps — chunk-granular growth would retrigger a recompile at
+    nearly every adaptation interval while the scene grows.  Rung spacing
+    ~16% costs at most that much extra buffer over the exact request."""
+    want = max(int(want), floor, chunk)
+    g = max(1 << max(want.bit_length() - 3, 0), chunk)
+    return -(-(-(-want // g) * g) // chunk) * chunk
+
+
 def _group_views(cameras: list[CameraData], images: list[dict]) -> dict:
     """Group (camera, image) pairs by resolution; jit caches per (W, H)."""
     groups: dict[tuple[int, int], dict] = {}
@@ -196,8 +211,8 @@ class Trainer:
         self._entry_cap_peak = max(observed,
                                    self.ENTRY_CAP_DECAY * self._entry_cap_peak)
         chunk = self.settings.chunk
-        want = int(self._entry_cap_peak * self.ENTRY_CAP_HEADROOM)
-        want = max(-(-want // chunk) * chunk, chunk * 8)
+        want = quantize_budget(self._entry_cap_peak * self.ENTRY_CAP_HEADROOM,
+                               chunk, chunk * 8)
         cur = self._entry_cap_value
         # grow whenever short on headroom; shrink only when far oversized
         if cur is None or want > cur or want < cur // 2:
