@@ -100,16 +100,17 @@ case "$STAGE" in
         # Non-fatal sequencing; report every rc at the end.
         run_bench;   rc_bench=$?
         run_profile; rc_profile=$?
-        run_trace
+        run_trace;   rc_trace=$?
         run_sweep;   rc_sweep=$?
         run_tests;   rc_tests=$?
         run_bench1m; rc_1m=$?
         run_train30k; rc_30k=$?
         run_bench_ckpt
-        echo "RCs: bench=$rc_bench profile=$rc_profile sweep=$rc_sweep tests=$rc_tests bench1m=$rc_1m train30k=$rc_30k"
+        echo "RCs: bench=$rc_bench profile=$rc_profile trace=$rc_trace sweep=$rc_sweep tests=$rc_tests bench1m=$rc_1m train30k=$rc_30k"
         # every collected rc participates, so a watcher driving stage=all
         # retries a window where only sweep/bench1m/train30k failed
-        exit $(( rc_bench | rc_profile | rc_tests | rc_sweep | rc_1m | rc_30k ))
+        exit $(( rc_bench | rc_profile | rc_trace | rc_sweep | rc_1m \
+                 | rc_tests | rc_30k ))
         ;;
     *) echo "unknown stage $STAGE"; exit 1 ;;
 esac

@@ -34,6 +34,11 @@ def analyze(trace_dir: str, top: int = 40) -> None:
     if not paths:
         print(f"no .xplane.pb under {trace_dir}")
         return
+    # each capture writes a new timestamped session subdir; re-runs into
+    # the same trace_dir (watcher retries) must not mix stale sessions
+    # into the breakdown — analyze the NEWEST session only
+    newest = max({os.path.dirname(p) for p in paths}, key=os.path.getmtime)
+    paths = [p for p in paths if os.path.dirname(p) == newest]
     for path in paths:
         data = ProfileData.from_file(path)
         for plane in data.planes:

@@ -536,3 +536,35 @@ def test_cli_train_shard_modes(tmp_path):
         scene, _, meta = load_checkpoint(ckpt)
         assert meta.get("iteration") == 2
         assert np.isfinite(np.asarray(scene.means)).all()
+
+
+def test_viewer_knobs_do_not_recompile():
+    """Stepping the gaussian-scale / point-size knobs must NOT retrace the
+    compiled render (each retrace is a 20-40 s stall on a real chip): the
+    knobs ride the jit call as traced scalars."""
+    from webdgs_tpu.config import RenderSettings
+    from webdgs_tpu.render.renderer import (render_compiled,
+                                            render_points_compiled)
+    from webdgs_tpu.render.viewer import Viewer
+
+    scene = random_scene(40, seed=70)
+    scene = scene.replace(opacity_logits=scene.opacity_logits + 2.0)
+    viewer = Viewer(scene, 64, 64, RenderSettings(chunk=128))
+    viewer.control.position = np.array([0, 0, -5.0], np.float32)
+
+    base = viewer.render()
+    viewer.render()  # warm: first frame adapts the entry capacity
+    n0 = render_compiled._cache_size()
+    viewer.set_gaussian_scaling(1.5)
+    big = viewer.render()
+    viewer.set_gaussian_scaling(0.5)
+    viewer.render()
+    assert render_compiled._cache_size() == n0, "scale knob recompiled"
+    assert not np.array_equal(base, big)  # the knob actually does something
+
+    viewer.set_render_mode("pointcloud")
+    viewer.render()
+    m0 = render_points_compiled._cache_size()
+    viewer.set_point_size(9.0)
+    viewer.render()
+    assert render_points_compiled._cache_size() == m0, "size knob recompiled"

@@ -183,7 +183,7 @@ def test_quantize_budget_ladder():
         assert q >= want                # never undersized
         assert q <= want * 1.35         # rung overshoot bounded
         if prev is not None:
-            assert q >= prev or True    # monotone in this sweep
+            assert q >= prev            # monotone in this sweep
         distinct.add(q)
         prev = q
         want *= 1.02

@@ -91,6 +91,22 @@ class RenderSettings:
 DEFAULT_SETTINGS = RenderSettings()
 
 
+def quantize_budget(want: int | float, chunk: int, floor: int) -> int:
+    """Round a capacity request UP to a coarse geometric ladder (~8 rungs
+    per octave), in ``chunk`` multiples.
+
+    Every distinct value of a static budget is a separate XLA compilation
+    (20-40 s on a real chip), so a budget that tracks a steadily-growing
+    observation (entry counts during densification, the viewer's per-frame
+    capacity during live training) must move in rungs, not chunk steps —
+    chunk-granular growth would retrigger a recompile at nearly every
+    adaptation interval while the scene grows.  Rung spacing ~16% costs at
+    most that much extra buffer over the exact request."""
+    want = max(int(want), floor, chunk)
+    g = max(1 << max(want.bit_length() - 3, 0), chunk)
+    return -(-(-(-want // g) * g) // chunk) * chunk
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Turn on JAX's persistent compilation cache for this process.
 

@@ -123,8 +123,14 @@ def project_gaussians(
     sh_deg: int,
     settings: RenderSettings,
     detach_color: bool = False,
+    gaussian_scaling: jax.Array | float | None = None,
 ) -> tuple[SplatAttrs, SplatAux]:
-    """``detach_color``: stop gradients through the SH color evaluation
+    """``gaussian_scaling``: optional TRACED override of
+    ``settings.gaussian_scaling`` — the viewer sweeps the scale knob live,
+    and a static (compile-time) value would recompile the whole render
+    pipeline per step of the slider.  None uses the static setting.
+
+    ``detach_color``: stop gradients through the SH color evaluation
     (both into the coefficients and into positions via the view direction).
     The reference's backward has no color->geometry path and its SH DC
     gradient is routed separately (tiled-backward.wgsl; SURVEY.md Q2), so
@@ -138,11 +144,12 @@ def project_gaussians(
     MXU passes for f32-exact centers; row form is exact f32 by construction.
     """
     return _project_gaussians_impl(params, alive, camera, img_w, img_h,
-                                   sh_deg, settings, detach_color)
+                                   sh_deg, settings, detach_color,
+                                   gaussian_scaling)
 
 
 def _project_gaussians_impl(params, alive, camera, img_w, img_h, sh_deg,
-                            settings, detach_color):
+                            settings, detach_color, gaussian_scaling=None):
     means = params["means"]
     quats = params["quats"]
     log_scales = params["log_scales"]
@@ -189,7 +196,9 @@ def _project_gaussians_impl(params, alive, camera, img_w, img_h, sh_deg,
     # shader ever reads it; here the knob actually works, as a scale
     # multiplier on the decoded stddev
     lsT = log_scales.T
-    gs2 = settings.gaussian_scaling * settings.gaussian_scaling
+    gsc = (settings.gaussian_scaling if gaussian_scaling is None
+           else gaussian_scaling)
+    gs2 = gsc * gsc
     s2 = (gs2 * jnp.exp(2.0 * lsT[0]), gs2 * jnp.exp(2.0 * lsT[1]),
           gs2 * jnp.exp(2.0 * lsT[2]))
     qT = quats.T

@@ -44,7 +44,8 @@ from webdgs_tpu.ops.densify import (DensifyResult, cap_counts,
                                     compact_transform, decide, densify_rng)
 from webdgs_tpu.ops.importance import view_importance_counts
 from webdgs_tpu.train.config import DensifyPruneConfig
-from webdgs_tpu.train.trainer import Trainer, quantize_budget
+from webdgs_tpu.config import quantize_budget
+from webdgs_tpu.train.trainer import Trainer
 
 
 def rebalance_shards(scene: GaussianScene, opt_state: AdamState,

@@ -58,7 +58,9 @@ def render_from_attrs(attrs: SplatAttrs, aux: SplatAux, img_w: int,
 
 def render_points(scene: GaussianScene, camera: Camera, img_w: int,
                   img_h: int, settings: RenderSettings = DEFAULT_SETTINGS,
-                  point_size_px: float = 3.0) -> jax.Array:
+                  point_size_px: jax.Array | float = 3.0,
+                  gaussian_scaling: jax.Array | float | None = None
+                  ) -> jax.Array:
     """Point-cloud debug mode (the reference viewer's default renderMode,
     src/viewer.ts:54, rasterized at tiled-rasterizer.wgsl:212-221: yellow
     dots of point_size_px within each splat's extent box).
@@ -71,16 +73,19 @@ def render_points(scene: GaussianScene, camera: Camera, img_w: int,
     import math
 
     attrs, aux = project_gaussians(scene.params(), scene.alive, camera,
-                                   img_w, img_h, scene.sh_deg, settings)
-    r = max(point_size_px, 0.5)
+                                   img_w, img_h, scene.sh_deg, settings,
+                                   gaussian_scaling=gaussian_scaling)
+    # point_size_px may be a TRACED scalar (the viewer's ,/. keys step it
+    # live; a static value would recompile the pipeline per step)
+    r = jnp.maximum(jnp.asarray(point_size_px, jnp.float32), 0.5)
     if settings.max_splat_radius_px > 0:
-        r = min(r, settings.max_splat_radius_px)
+        r = jnp.minimum(r, settings.max_splat_radius_px)
     # alpha(d) = 0.99 * exp(-0.5 k d^2) hits 1/255 at d = r
     k = 2.0 * math.log(0.99 * 255.0) / (r * r)
     n = attrs.opacity.shape[0]
     point_attrs = SplatAttrs(
         center_px=attrs.center_px,
-        conic=jnp.broadcast_to(jnp.array([k, 0.0, k], jnp.float32), (n, 3)),
+        conic=jnp.broadcast_to(jnp.stack([k, jnp.zeros_like(k), k]), (n, 3)),
         color=jnp.broadcast_to(jnp.array([1.0, 1.0, 0.0], jnp.float32),
                                (n, 3)),
         opacity=jnp.full((n,), 0.99, jnp.float32),
@@ -95,9 +100,11 @@ def render_points(scene: GaussianScene, camera: Camera, img_w: int,
 
 def render(scene: GaussianScene, camera: Camera, img_w: int, img_h: int,
            settings: RenderSettings = DEFAULT_SETTINGS,
-           entry_capacity: int | None = None) -> RenderResult:
+           entry_capacity: int | None = None,
+           gaussian_scaling: jax.Array | float | None = None) -> RenderResult:
     attrs, aux = project_gaussians(scene.params(), scene.alive, camera,
-                                   img_w, img_h, scene.sh_deg, settings)
+                                   img_w, img_h, scene.sh_deg, settings,
+                                   gaussian_scaling=gaussian_scaling)
     out, bins = render_from_attrs(attrs, aux, img_w, img_h, settings,
                                   entry_capacity)
     ntx, nty = binning_ops.tile_grid(img_w, img_h, settings)
@@ -126,6 +133,7 @@ def render(scene: GaussianScene, camera: Camera, img_w: int, img_h: int,
 render_compiled = functools.partial(
     jax.jit, static_argnames=("img_w", "img_h", "settings",
                               "entry_capacity"))(render)
+# point_size_px / gaussian_scaling are TRACED: the viewer steps them live
+# and a static value would pay a full pipeline recompile per key press
 render_points_compiled = functools.partial(
-    jax.jit, static_argnames=("img_w", "img_h", "settings",
-                              "point_size_px"))(render_points)
+    jax.jit, static_argnames=("img_w", "img_h", "settings"))(render_points)

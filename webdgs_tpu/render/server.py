@@ -97,7 +97,7 @@ for (const [path, label, lo, hi, init, isInt] of SLIDERS) {
   // so a drag must coalesce to ONE post, not one per input tick
   let cfgTimer = null;
   inp.oninput = () => {
-    val.textContent = (+inp.value).toPrecision(3);
+    val.textContent = fmtVal(inp.value, isInt);
     checkLossSum();
     clearTimeout(cfgTimer);
     cfgTimer = setTimeout(() => {
@@ -108,7 +108,7 @@ for (const [path, label, lo, hi, init, isInt] of SLIDERS) {
       post({config: cfg});
     }, 250);
   };
-  sliderRefs.push([path, inp, val]);
+  sliderRefs.push([path, inp, val, isInt]);
   cfgDiv.appendChild(row);
 }
 // the init constants above are only placeholders: the running config may
@@ -116,13 +116,22 @@ for (const [path, label, lo, hi, init, isInt] of SLIDERS) {
 // reference's sliders and its configs share one source, main.ts:234-372)
 function syncSliders(s) {
   if (!s.trainer || !s.trainer.config) return;
-  for (const [path, inp, val] of sliderRefs) {
+  for (const [path, inp, val, isInt] of sliderRefs) {
     if (path in s.trainer.config) {
-      inp.value = s.trainer.config[path];
-      val.textContent = (+inp.value).toPrecision(3);
+      const v = s.trainer.config[path];
+      // widen the range first: a CLI/--config override outside the
+      // reference's slider envelope must DISPLAY truthfully, not clamp
+      // (and a later drag must not silently rewrite it to the clamp)
+      if (v < +inp.min) inp.min = v;
+      if (v > +inp.max) inp.max = v;
+      inp.value = v;
+      val.textContent = fmtVal(v, isInt);
     }
   }
   checkLossSum();
+}
+function fmtVal(v, isInt) {
+  return isInt ? String(Math.round(+v)) : (+v).toPrecision(3);
 }
 let keys = {}, drag = null, wheel = 0;
 onkeydown = e => { keys[e.code] = true; if(e.code=='KeyP') post({toggle_mode:1});
@@ -343,7 +352,7 @@ class ViewerServer:
                     with self._state_lock:
                         self.train_error = f"config: {e}"
             if "gaussian_scale_delta" in msg:
-                cur = self.viewer.settings.gaussian_scaling
+                cur = self.viewer.gaussian_scaling
                 self.viewer.set_gaussian_scaling(
                     cur + float(msg["gaussian_scale_delta"]))
             if "point_size_delta" in msg:

@@ -10,7 +10,8 @@ import os
 
 import numpy as np
 
-from webdgs_tpu.config import DEFAULT_SETTINGS, RenderSettings
+from webdgs_tpu.config import (DEFAULT_SETTINGS, RenderSettings,
+                                quantize_budget)
 from webdgs_tpu.core.camera import Camera, CameraData, make_camera
 from webdgs_tpu.core.scene import GaussianScene
 from webdgs_tpu.render.camera_control import FlyCamera
@@ -58,6 +59,9 @@ class Viewer:
         # reference viewer setters (src/viewer.ts:90-100)
         self.render_mode = render_mode  # 'gaussian' | 'pointcloud'
         self.point_size_px = point_size_px
+        # live knobs passed to the render as TRACED scalars — stepping
+        # them must not recompile the pipeline (render_compiled notes)
+        self.gaussian_scaling = float(settings.gaussian_scaling)
         # adaptive tile-entry capacity, like the Trainer: sized from the
         # first frame's observed entry count (one recompile when it changes)
         self._entry_cap: int | None = None
@@ -71,13 +75,8 @@ class Viewer:
         self.point_size_px = float(value)
 
     def set_gaussian_scaling(self, value: float) -> None:
-        """The reference's Gaussian-scale slider (main.ts:369-372).
-        Quantized to 0.05 steps: each distinct value is a new static
-        setting (one recompile)."""
-        import dataclasses
-        v = max(0.05, round(float(value) / 0.05) * 0.05)
-        self.settings = dataclasses.replace(self.settings,
-                                            gaussian_scaling=v)
+        """The reference's Gaussian-scale slider (main.ts:369-372)."""
+        self.gaussian_scaling = max(0.05, float(value))
 
     def set_point_cloud(self, scene: GaussianScene) -> None:
         self.scene = scene
@@ -119,16 +118,18 @@ class Viewer:
         w = max(1, self.width // downscale)
         h = max(1, self.height // downscale)
         cam = self.camera(w, h)
+        gsc = np.float32(self.gaussian_scaling)
         if self.render_mode == "pointcloud":
-            img = render_points_compiled(self.scene, cam, img_w=w, img_h=h,
-                                         settings=self.settings,
-                                         point_size_px=self.point_size_px)
+            img = render_points_compiled(
+                self.scene, cam, img_w=w, img_h=h, settings=self.settings,
+                point_size_px=np.float32(self.point_size_px),
+                gaussian_scaling=gsc)
             return np.asarray(img)
         res = render_compiled(self.scene, cam, img_w=w, img_h=h,
                               settings=self.settings,
-                              entry_capacity=self._entry_cap)
+                              entry_capacity=self._entry_cap,
+                              gaussian_scaling=gsc)
         if downscale == 1:
-            from webdgs_tpu.train.trainer import quantize_budget
             observed = int(res.binning.total_entries)
             chunk = self.settings.chunk
             # rung-quantized (geometric ladder): every distinct capacity is

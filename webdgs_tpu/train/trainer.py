@@ -28,35 +28,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from webdgs_tpu.config import DEFAULT_SETTINGS, RenderSettings
+from webdgs_tpu.config import (DEFAULT_SETTINGS, RenderSettings,
+                                quantize_budget)
 from webdgs_tpu.core.camera import Camera, CameraData, make_camera
 from webdgs_tpu.core.scene import GaussianScene
 from webdgs_tpu.ops.adam import AdamState, init_adam_state
 from webdgs_tpu.ops.densify import densify_prune
 from webdgs_tpu.ops.importance import multiview_importance_counts
 from webdgs_tpu.ops.loss import pixel_loss_gradient
-from webdgs_tpu.render.renderer import render
+from webdgs_tpu.render.renderer import render, render_compiled
 from webdgs_tpu.train.config import TrainerConfig
 from webdgs_tpu.train.step import train_step
 
 
 def _round_capacity(n: int, granule: int = 4096) -> int:
     return max(-(-n // granule) * granule, granule)
-
-
-def quantize_budget(want: int, chunk: int, floor: int) -> int:
-    """Round a capacity request UP to a coarse geometric ladder (~8 rungs
-    per octave), in ``chunk`` multiples.
-
-    Every distinct value of a static budget is a separate XLA compilation
-    (20-40 s on a real chip), so a budget that tracks a steadily-growing
-    observation (entry counts during densification) must move in rungs,
-    not chunk steps — chunk-granular growth would retrigger a recompile at
-    nearly every adaptation interval while the scene grows.  Rung spacing
-    ~16% costs at most that much extra buffer over the exact request."""
-    want = max(int(want), floor, chunk)
-    g = max(1 << max(want.bit_length() - 3, 0), chunk)
-    return -(-(-(-want // g) * g) // chunk) * chunk
 
 
 def _group_views(cameras: list[CameraData], images: list[dict]) -> dict:
@@ -455,7 +441,6 @@ class Trainer:
                 for i in range(g["count"])]
         (w, h), g, i = flat[index]
         cam = jax.tree.map(lambda x: x[i], g["cams"])
-        from webdgs_tpu.render.renderer import render_compiled
         return render_compiled(self.scene, cam, img_w=w, img_h=h,
                                settings=self.settings).image
 
