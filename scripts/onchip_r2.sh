@@ -18,29 +18,36 @@ run_tests() {
     echo "== on-chip kernel tests =="
     WEBDGS_TEST_TPU=1 timeout 1800 python -m pytest \
         tests/test_render_forward.py tests/test_gradients.py \
-        tests/test_tile_loss.py -x -q
+        tests/test_tile_loss.py -x -q 2>&1 | tee /tmp/tests_r3.txt
+    return ${PIPESTATUS[0]}
 }
 
 run_profile() {
     echo "== stage profile =="
-    timeout 1200 python scripts/profile_breakdown.py
+    timeout 1200 python scripts/profile_breakdown.py 2>&1 \
+        | tee /tmp/profile_r3.txt
+    return ${PIPESTATUS[0]}
 }
 
 run_trace() {
     # op-level xplane trace of the full step; the .xplane.pb persists under
     # /tmp/jaxtrace_r3 for offline re-analysis after the tunnel drops
     echo "== op-level trace =="
-    timeout 900 python scripts/trace_step.py /tmp/jaxtrace_r3
+    timeout 900 python scripts/trace_step.py /tmp/jaxtrace_r3 2>&1 \
+        | tee /tmp/trace_r3.txt
+    return ${PIPESTATUS[0]}
 }
 
 run_bench() {
     echo "== headline bench =="
     timeout 1200 python bench.py | tee /tmp/bench_r3_headline.json
+    return ${PIPESTATUS[0]}
 }
 
 run_bench1m() {
     echo "== 1M-splat scale point =="
-    timeout 1800 python scripts/bench_1m.py
+    timeout 1800 python scripts/bench_1m.py 2>&1 | tee /tmp/bench1m_r3.txt
+    return ${PIPESTATUS[0]}
 }
 
 run_sweep() {
@@ -76,7 +83,8 @@ run_train30k() {
         --iterations 30000 --log-every 1000 --holdout-every 8 \
         --checkpoint-every 2000 $RESUME \
         --out /tmp/scene1/ck30k.npz --export-ply /tmp/scene1/trained30k.ply \
-        --width 400 --height 300
+        --width 400 --height 300 2>&1 | tee -a /tmp/train30k_r3.txt
+    return ${PIPESTATUS[0]}
 }
 
 run_bench_ckpt() {
@@ -84,6 +92,7 @@ run_bench_ckpt() {
     test -f /tmp/scene1/ck30k.npz || { echo "no checkpoint yet"; return 0; }
     WEBDGS_BENCH_CHECKPOINT=/tmp/scene1/ck30k.npz timeout 1200 \
         python bench.py | tee /tmp/bench_r3_trained.json
+    return ${PIPESTATUS[0]}
 }
 
 case "$STAGE" in
