@@ -1,0 +1,102 @@
+"""Randomized invariants of the binning stage (ops/binning.py).
+
+The forward-oracle tests pin binning indirectly (an exact-match render
+implies correct ranges for those scenes); this fuzz suite checks the index
+arithmetic DIRECTLY across random configurations, including the edge cases
+oracles rarely hit: capacity overflow (whole-Gaussian drop, the reference's
+maxTileEntries budget, tiled-forward-pass.ts:137-158), tiles touching the
+frame border, and degenerate single-tile rects.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from webdgs_tpu.config import RenderSettings
+from webdgs_tpu.core.camera import default_camera
+from webdgs_tpu.ops.binning import bin_splats, tile_grid
+from webdgs_tpu.ops.projection import project_gaussians
+
+from tests.test_render_forward import random_scene
+
+
+def _project(n, seed, w, h, settings):
+    scene = random_scene(n, seed=seed)
+    scene = scene.replace(opacity_logits=scene.opacity_logits + 2.0)
+    cam = default_camera(w, h, position=(0.0, 0.0, -5.0))
+    return project_gaussians(scene.params(), scene.alive, cam, w, h,
+                             scene.sh_deg, settings)
+
+
+@pytest.mark.parametrize("seed,n,w,h,capacity,with_source", [
+    (0, 60, 64, 48, None, True),
+    (1, 60, 64, 48, None, False),
+    (2, 200, 80, 80, None, True),
+    (3, 200, 48, 64, 512, True),   # tight capacity: whole-Gaussian drops
+    (4, 8, 64, 64, None, False),   # near-empty
+])
+def test_binning_invariants(seed, n, w, h, capacity, with_source):
+    settings = RenderSettings(chunk=128)
+    attrs, aux = _project(n, seed, w, h, settings)
+    ntx, nty = tile_grid(w, h, settings)
+    bins = bin_splats(aux, w, h, settings, capacity=capacity,
+                      with_source=with_source)
+
+    num_tiles = np.asarray(aux.num_tiles)
+    tile_min = np.asarray(aux.tile_min)
+    tile_dims = np.asarray(aux.tile_dims)
+    depth16 = np.minimum(
+        (np.frombuffer(np.asarray(aux.depth).tobytes(), np.uint32)
+         ^ np.uint32(0x80000000)) >> 16, 0xFFFE).astype(np.int64)
+
+    e_cap = (bins.capacity - ntx * nty * settings.chunk)
+    # whole-Gaussian drop at the budget: kept prefix by cumulative count
+    keep = np.cumsum(num_tiles) <= e_cap
+    kept_counts = np.where(keep, num_tiles, 0)
+    total = int(kept_counts.sum())
+
+    assert int(bins.total_entries) == total
+    tile_counts = np.asarray(bins.tile_counts)
+    assert int(tile_counts.sum()) == total
+    valid = np.asarray(bins.entry_valid)
+    assert int(valid.sum()) == total
+
+    # aligned ranges: offsets deltas are the chunk-rounded counts
+    offs = np.asarray(bins.tile_offsets)
+    chunk = settings.chunk
+    np.testing.assert_array_equal(
+        offs[1:] - offs[:-1], -(-tile_counts // chunk) * chunk)
+
+    # per-slot: the slot's tile (from the aligned ranges) must be covered
+    # by its gaussian's tile rect, and per-tile counts must match exactly
+    gauss = np.asarray(bins.entry_gauss)
+    slot_tile = np.searchsorted(offs[1:], np.arange(offs[-1]), side="right")
+    per_tile = np.zeros(ntx * nty, np.int64)
+    for k in np.flatnonzero(valid):
+        t, g = slot_tile[k], gauss[k]
+        ty, tx = divmod(t, ntx)
+        assert keep[g]
+        assert tile_min[g, 0] <= tx < tile_min[g, 0] + tile_dims[g, 0]
+        assert tile_min[g, 1] <= ty < tile_min[g, 1] + tile_dims[g, 1]
+        per_tile[t] += 1
+    np.testing.assert_array_equal(per_tile, tile_counts)
+
+    # within a tile, valid entries are depth-sorted (16-bit keys; ties
+    # arbitrary, SURVEY Q5)
+    for t in np.flatnonzero(tile_counts):
+        rows = gauss[offs[t]:offs[t] + tile_counts[t]]
+        d = depth16[rows]
+        assert (np.diff(d) >= 0).all(), f"tile {t} not depth-ordered"
+
+    if with_source:
+        # the expansion-slot payload maps back to the same gaussian
+        src = np.asarray(bins.entry_source)
+        gcounts = np.asarray(bins.gauss_counts)
+        np.testing.assert_array_equal(gcounts, kept_counts)
+        g_off = np.cumsum(kept_counts) - kept_counts
+        for k in np.flatnonzero(valid):
+            g = gauss[k]
+            assert g_off[g] <= src[k] < g_off[g] + kept_counts[g]
+    else:
+        assert bins.entry_source is None and bins.gauss_counts is None
