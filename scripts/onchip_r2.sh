@@ -16,9 +16,11 @@ fi
 
 run_tests() {
     echo "== on-chip kernel tests =="
+    # no -x: one tolerance failure (e.g. bf16x3 on the real MXU) must not
+    # hide the rest of the suite's on-chip results
     WEBDGS_TEST_TPU=1 timeout 1800 python -m pytest \
         tests/test_render_forward.py tests/test_gradients.py \
-        tests/test_tile_loss.py -x -q 2>&1 | tee /tmp/tests_r3.txt
+        tests/test_tile_loss.py -q 2>&1 | tee /tmp/tests_r3.txt
     return ${PIPESTATUS[0]}
 }
 
