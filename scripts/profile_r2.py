@@ -27,7 +27,7 @@ def main():
                                      init_adam_state)
     from webdgs_tpu.ops.loss import LossConfig, pixel_loss_gradient
     from webdgs_tpu.ops.projection import project_gaussians
-    from webdgs_tpu.train.step import compute_param_grads, train_step
+    from webdgs_tpu.train.step import compute_param_grads
     from webdgs_tpu.core.scene import scene_from_arrays
 
     n = 100_000

@@ -20,7 +20,7 @@ def main():
     from webdgs_tpu.core.camera import default_camera
     from webdgs_tpu.ops import binning as B
     from webdgs_tpu.ops import rasterize as RZ
-    from webdgs_tpu.ops.loss import LossConfig, pixel_loss_gradient
+    from webdgs_tpu.ops.loss import LossConfig
     from webdgs_tpu.ops.projection import project_gaussians
     from webdgs_tpu.train.step import compute_param_grads
     from webdgs_tpu.core.scene import scene_from_arrays

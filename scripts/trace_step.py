@@ -87,8 +87,6 @@ def capture(trace_dir: str) -> None:
 
     import functools
 
-    import jax.numpy as jnp
-
     from webdgs_tpu.config import RenderSettings
     from webdgs_tpu.core.camera import default_camera
     from webdgs_tpu.core.scene import scene_from_arrays

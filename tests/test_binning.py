@@ -11,8 +11,6 @@ frame border, and degenerate single-tile rects.
 import numpy as np
 import pytest
 
-import jax.numpy as jnp
-
 from webdgs_tpu.config import RenderSettings
 from webdgs_tpu.core.camera import default_camera
 from webdgs_tpu.ops.binning import bin_splats, tile_grid
