@@ -203,3 +203,91 @@ def test_trainer_evaluate():
     m = trainer.evaluate()
     assert m["views"] == 1
     assert m["psnr"] > 45.0  # same scene: near-perfect reconstruction
+
+
+@pytest.mark.parametrize("seed,max_new", [(10, 5000), (11, 3), (12, 0)])
+def test_densify_event_randomized_oracle(seed, max_new):
+    """Structural invariants of the full jitted event against an
+    independent numpy mirror of the reference's decide/cap semantics
+    (densify-prune-decide.wgsl:73-88, densify-prune-cap.wgsl), across
+    random scenes with dead slots and capacity pressure.  The deep
+    per-value transform checks live in test_scatter_semantics; this pins
+    PLACEMENT, totals, boundary degrades, and moment-reset rules broadly.
+    """
+    import dataclasses
+
+    n = 32
+    rng = np.random.default_rng(seed)
+    scene = random_scene(n, seed=seed)
+    scene = scene.replace(
+        opacity_logits=jnp.asarray(rng.uniform(-6, 4, n).astype(np.float32)),
+        log_scales=jnp.asarray(rng.uniform(-3, 0.5, (n, 3)).astype(np.float32)),
+        alive=jnp.asarray(rng.random(n) < 0.8))
+    metric = jnp.asarray(
+        rng.choice([0, 400, 600, 900], size=n).astype(np.float32))
+    cfg = dataclasses.replace(CFG, max_new_points_per_step=max_new)
+    opt = init_adam_state(scene.params())
+    opt = jax.tree.map(lambda x: x + 1.0, opt)
+    opt = opt.replace(iteration=jnp.int32(7))
+
+    res = densify_prune(scene, opt, metric, cfg, jax.random.PRNGKey(seed))
+
+    # --- numpy mirror of decide + cap ---
+    alive = np.asarray(scene.alive)
+    op = 1.0 / (1.0 + np.exp(-np.asarray(scene.opacity_logits)))
+    ms = np.exp(np.asarray(scene.log_scales)).max(-1)
+    met = np.asarray(metric)
+    prune = op < cfg.prune_opacity
+    densify = met >= cfg.clone_threshold_count
+    split = densify & (ms >= cfg.split_scale_threshold)
+    action = np.where(prune, 3, np.where(split, 2, np.where(densify, 1, 0)))
+    count = np.where(prune, 0, np.where(densify, 2, 1))
+    action = np.where(alive, action, 3)
+    count = np.where(alive, count, 0)
+    max_out = min(n, int(alive.sum()) + max_new)
+    off_pre = np.cumsum(count) - count
+    count = np.clip(max_out - off_pre, 0, count)
+    degraded = (count == 1) & ((action == 1) | (action == 2))
+    action = np.where(degraded, 0, action)
+    total = int(count.sum())
+    off = np.cumsum(count) - count
+
+    assert int(res.out_total) == total
+    assert int(res.in_alive) == int(alive.sum())
+    assert int(res.n_pruned) == int(((action == 3) & alive).sum())
+    assert int(res.n_cloned) == int(((action == 1) & alive).sum())
+    assert int(res.n_split) == int(((action == 2) & alive).sum())
+
+    s2 = res.scene
+    np.testing.assert_array_equal(np.asarray(s2.alive),
+                                  np.arange(n) < total)
+
+    means_in = np.asarray(scene.means)
+    means_out = np.asarray(s2.means)
+    m_rows = np.asarray(res.opt_state.m)
+    for g in range(n):
+        if count[g] == 0:
+            continue
+        o = off[g]
+        if action[g] == 0:  # keep: verbatim copy, moments preserved
+            np.testing.assert_allclose(means_out[o], means_in[g])
+            # non-opacity lanes keep their moments (lane 10 is opacity)
+            assert np.allclose(m_rows[o, :10], 1.0)
+        elif action[g] == 1:  # clone: slot0 verbatim, slot1 jittered
+            np.testing.assert_allclose(means_out[o], means_in[g])
+            sigma = np.exp(np.asarray(scene.log_scales)[g])
+            d = means_out[o + 1] - means_in[g]
+            assert np.linalg.norm(d) <= 0.25 * np.linalg.norm(sigma) * 1.01
+            assert np.allclose(m_rows[o + 1], 0.0)  # new slot: reset
+        elif action[g] == 2:  # split: children mirror about the parent
+            c0 = means_out[o] - means_in[g]
+            c1 = means_out[o + 1] - means_in[g]
+            np.testing.assert_allclose(c0, -c1, atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(s2.log_scales)[o],
+                np.asarray(scene.log_scales)[g] - LN_1P6, atol=1e-5)
+            # both split slots count as new (scatter-opt-vec4.wgsl:52-60)
+            assert np.allclose(m_rows[o], 0.0)
+            assert np.allclose(m_rows[o + 1], 0.0)
+    # opacity moments always reset (scatter-opt-float.wgsl:29-36)
+    assert np.allclose(m_rows[:total, 10], 0.0)
