@@ -279,6 +279,7 @@ def test_serve_train_live():
     viewer = Viewer(trainer.scene, w, h, settings)
     viewer.control.position = np.array([0, 0, -5.0], np.float32)
 
+    trainer.dataset_cameras = cams  # what cli._build_trainer attaches
     vs = ViewerServer(viewer, trainer=trainer)
     server = make_http_server(vs, "127.0.0.1", 0)
     port = server.server_address[1]
@@ -330,6 +331,18 @@ def test_serve_train_live():
                                      method="POST")
         resp = _json.loads(urllib.request.urlopen(req, timeout=60).read())
         assert resp == {"unknown_keys": ["adam"]}
+
+        # camera preset jump (the reference's camera-choice select):
+        # the fly-cam lands exactly on the dataset camera
+        assert stats["trainer"]["n_cameras"] == 2
+        req = urllib.request.Request(f"{url}/control",
+                                     data=b'{"camera_preset": 1}',
+                                     method="POST")
+        urllib.request.urlopen(req, timeout=60)
+        np.testing.assert_allclose(viewer.control.position,
+                                   cams[1].position, atol=1e-6)
+        np.testing.assert_allclose(viewer.control.rotation,
+                                   cams[1].rotation, atol=1e-6)
     finally:
         server.shutdown()
         vs.shutdown()

@@ -195,6 +195,11 @@ def _build_trainer(args):
         trainer.resume_from(ck_scene, ck_opt, meta.get("iteration") or 0)
         print(f"resumed from {args.resume} at iteration "
               f"{trainer.iteration}")
+    # host-side CameraData records (paired with the training groups by
+    # construction): the serve viewer's camera-preset jump needs them
+    # (the reference's camera-choice select, index.html:236,
+    # camera.ts:196-205)
+    trainer.dataset_cameras = cameras
     return trainer, holdout
 
 

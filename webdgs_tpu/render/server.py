@@ -114,7 +114,24 @@ for (const [path, label, lo, hi, init, isInt] of SLIDERS) {
 // the init constants above are only placeholders: the running config may
 // carry CLI/--config overrides, so sliders snap to the live values (the
 // reference's sliders and its configs share one source, main.ts:234-372)
+// camera presets, the reference's camera-choice select (index.html:236):
+// jump the fly-cam to any dataset camera
+const camRow = document.createElement('div');
+camRow.innerHTML = `<label style="display:inline-block;width:130px">camera</label>
+  <select style="width:160px"><option value="">free</option></select>`;
+const camSel = camRow.querySelector('select');
+camSel.onchange = () => {
+  if (camSel.value !== '') post({camera_preset: +camSel.value});
+};
+cfgDiv.appendChild(camRow);
+function syncCameras(s) {
+  const n = s.trainer ? (s.trainer.n_cameras || 0) : 0;
+  while (camSel.options.length > 1 + n) camSel.remove(camSel.options.length - 1);
+  for (let i = camSel.options.length - 1; i < n; i++)
+    camSel.add(new Option(`cam ${i}`, i));
+}
 function syncSliders(s) {
+  syncCameras(s);
   if (!s.trainer || !s.trainer.config) return;
   for (const [path, inp, val, isInt] of sliderRefs) {
     if (path in s.trainer.config) {
@@ -314,7 +331,8 @@ class ViewerServer:
 
     CONTROL_KEYS = frozenset((
         "move", "roll", "drag", "wheel", "dt", "toggle_mode", "toggle_train",
-        "config", "gaussian_scale_delta", "point_size_delta", "resize"))
+        "config", "gaussian_scale_delta", "point_size_delta", "resize",
+        "camera_preset"))
 
     def handle_control(self, msg: dict) -> list[str]:
         """Apply a control message; returns any unrecognized keys so a
@@ -351,6 +369,25 @@ class ViewerServer:
                 except (ValueError, TypeError) as e:
                     with self._state_lock:
                         self.train_error = f"config: {e}"
+            if "camera_preset" in msg:
+                # jump the fly-cam to a dataset camera, the reference's
+                # camera-choice select (index.html:236): position/rotation
+                # from the CameraData record, fovY re-derived from (fy,
+                # height) exactly like Camera.set_preset
+                # (camera.ts:196-205)
+                cams = getattr(self.trainer, "dataset_cameras", None)
+                if cams:
+                    import math
+                    c = cams[int(msg["camera_preset"]) % len(cams)]
+                    if c.position is not None:
+                        self.viewer.control.position = np.asarray(
+                            c.position, np.float32)
+                    if c.rotation is not None:
+                        self.viewer.control.rotation = np.asarray(
+                            c.rotation, np.float32)
+                    if c.fy and c.height:
+                        self.viewer.fov_y = 2.0 * math.atan(
+                            c.height / (2.0 * c.fy))
             if "gaussian_scale_delta" in msg:
                 cur = self.viewer.gaussian_scaling
                 self.viewer.set_gaussian_scaling(
@@ -397,6 +434,7 @@ class ViewerServer:
                 "training": self.training,
                 "error": self.train_error,
                 "holdout_psnr": self.holdout_psnr,
+                "n_cameras": len(getattr(tr, "dataset_cameras", None) or ()),
                 # live config leaves by dotted path, so the page's sliders
                 # show the RUNNING values (CLI/--config overrides included),
                 # not their hardcoded init constants
