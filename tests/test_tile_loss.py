@@ -31,7 +31,11 @@ def _oracle(out, target, img_w, img_h, ntx, nty, cfg):
     return dpix, loss_metrics(image, target, cfg)
 
 
-@pytest.mark.parametrize("img_w,img_h", [(64, 64), (70, 52), (48, 48)])
+@pytest.mark.parametrize("img_w,img_h", [
+    (64, 64), (70, 52), (48, 48),
+    (33, 20),   # minimum legal frame: ntx=3 with a 1-px-wide last column
+    (49, 33),   # fractional tiles on both axes, ntx=4 boundary
+])
 def test_tile_loss_matches_oracle(img_w, img_h):
     cfg = LossConfig()
     ntx = -(-img_w // SETTINGS.tile_w)
