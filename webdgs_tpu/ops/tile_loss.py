@@ -6,17 +6,26 @@ The reference computes dL/dpixel in place over the rendered texture
 loss -> re-tile for the backward rasterizer: two full-image transposes
 whose 3-5-lane minor dims tile-pad to 128 lanes, plus TWO image-space SSIM
 window passes (one for the gradient, one for the metrics).  This kernel
-keeps everything in the rasterizer's (T, P, 8) tile layout:
+keeps everything in tile space:
 
+* the kernel works on a CHANNEL-PLANAR view (T, NUM_OUT, th, tw) of the
+  rasterizer's (T, P, NUM_OUT) buffer (one cheap XLA transpose in, one
+  out).  Planar blocks mean every channel read/write inside the kernel is
+  a leading-dim index yielding a clean (rows, tw) 2D vector — no
+  in-register merges or splits of the pixel grid, which Mosaic's layout
+  inference rejects on hardware (vector<16x16> -> vector<256x1> shape
+  casts were the round-3 on-chip compile blocker);
 * each grid step owns one tile and sees its 3x3 tile neighborhood through
   nine auto-pipelined BlockSpec inputs (full left/center/right tiles of
   its row band plus 2-pixel row slices of the bands above and below) —
   the 2-pixel halo a 5x5 window needs;
-* the ground-truth window is one 20x20x3 async copy from the (H, W, 3)
-  target with a border-clamped start, realigned in-register;
+* the ground-truth window is one 3x20x20 async copy from the planar
+  (3, H, W) target with a border-clamped start, realigned in-register;
 * border replication (the reference's clamped textureLoad) and image-crop
   alignment are one-hot row/column select matmuls built from iotas —
-  exact at HIGHEST precision, 20x48 at most;
+  exact at HIGHEST precision, 20x48 at most; column selection contracts
+  on the one-hot's source dim directly so no vector transposes are
+  needed;
 * window means are shifted-add box filters (exact f32, no MXU);
 * outputs are the backward rasterizer's pixel cotangent (T, P, 8) —
   composite-background chain rule folded in: d_rgb = grad, d_T = grad.bg
@@ -53,17 +62,27 @@ def supports_tile_loss(img_w: int, img_h: int,
 
 
 def _onehot_select(src_idx: jax.Array, n_src: int):
-    """(n_out, n_src) one-hot S with S[i, src_idx[i]] = 1; S @ x selects
-    rows src_idx of x.  src_idx: (n_out,) i32 in [0, n_src)."""
+    """(n_out, n_src) one-hot S with S[i, src_idx[i]] = 1.  src_idx:
+    (n_out, 1) i32 in [0, n_src) — 2D so every vector stays 2D (1D iotas
+    and (n,) -> (n, 1) casts are rejected by Mosaic on hardware)."""
     n_out = src_idx.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_src), 1)
-    return (col == src_idx[:, None]).astype(jnp.float32)
+    return (col == src_idx).astype(jnp.float32)
 
 
-def _sel(mat: jax.Array, x: jax.Array):
-    """Exact f32 selection matmul (one-hot rows; HIGHEST keeps x exact)."""
+def _sel_rows(mat: jax.Array, x: jax.Array):
+    """S @ x: row i of the result is row src_idx[i] of x (exact f32)."""
     return jax.lax.dot_general(
         mat, x, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _sel_cols(x: jax.Array, mat: jax.Array):
+    """x @ S^T: column j of the result is column src_idx[j] of x —
+    contraction on the one-hot's source dim, no transposes."""
+    return jax.lax.dot_general(
+        x, mat, (((1,), (1,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
 
@@ -100,27 +119,21 @@ def _loss_kernel(rb_ref, cl_ref, cc_ref, cr_ref, ul_ref, uc_ref, ur_ref,
     sx = jnp.clip(x0 - HALF, 0, img_w - hw)
     sy = jnp.clip(y0 - HALF, 0, img_h - hh)
     cp = pltpu.make_async_copy(
-        target_ref.at[pl.ds(sy, hh), pl.ds(sx, hw), :], tscr, tsem)
+        target_ref.at[:, pl.ds(sy, hh), pl.ds(sx, hw)], tscr, tsem)
     cp.start()
 
     # ---- assemble the (hh, tw*3) channel planes of the tile row band ----
-    ts = jnp.clip(tx - 1, 0, ntx - 3)  # leftmost tile of the band
-
-    def ch(ref, c, rows):
-        return ref[0, :, c].reshape(rows, tw)
-
     def plane(c):
+        # planar refs: channel read = leading-dim index -> (rows, tw)
         mid = jnp.concatenate(
-            [ch(cl_ref, c, th), ch(cc_ref, c, th), ch(cr_ref, c, th)],
-            axis=1)
+            [cl_ref[0, c], cc_ref[0, c], cr_ref[0, c]], axis=1)
         top = jnp.concatenate(
-            [ch(ul_ref, c, HALF), ch(uc_ref, c, HALF), ch(ur_ref, c, HALF)],
-            axis=1)
+            [ul_ref[0, c], uc_ref[0, c], ur_ref[0, c]], axis=1)
         bot = jnp.concatenate(
-            [ch(dl_ref, c, HALF), ch(dc_ref, c, HALF), ch(dr_ref, c, HALF)],
-            axis=1)
+            [dl_ref[0, c], dc_ref[0, c], dr_ref[0, c]], axis=1)
         return jnp.concatenate([top, mid, bot], axis=0)  # (hh, 3*tw)
 
+    ts = jnp.clip(tx - 1, 0, ntx - 3)  # leftmost tile of the band
     t_plane = plane(OUT_T)
     # composited pred planes over the band (tiled-rasterizer.wgsl:250-252)
     pred48 = [plane(c) + bg[c] * t_plane for c in range(3)]
@@ -128,21 +141,21 @@ def _loss_kernel(rb_ref, cl_ref, cc_ref, cr_ref, ul_ref, uc_ref, ur_ref,
     # ---- clamp/select matrices (the reference's clamped textureLoad) ----
     # band columns hold global x = ts*tw .. ts*tw + 3*tw; halo column i
     # wants clamp(x0 - HALF + i, 0, img_w - 1)
-    iw = jax.lax.broadcasted_iota(jnp.int32, (hw,), 0)
-    gx = jnp.clip(x0 - HALF + iw, 0, img_w - 1)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
+    gx = jnp.clip(x0 - HALF + iw, 0, img_w - 1)  # (hw, 1)
     s_col = _onehot_select(gx - ts * tw, 3 * tw)  # (hw, 3*tw)
-    ih = jax.lax.broadcasted_iota(jnp.int32, (hh,), 0)
-    gy = jnp.clip(y0 - HALF + ih, 0, img_h - 1)
+    ih = jax.lax.broadcasted_iota(jnp.int32, (hh, 1), 0)
+    gy = jnp.clip(y0 - HALF + ih, 0, img_h - 1)  # (hh, 1)
     s_row = _onehot_select(gy - (y0 - HALF), hh)  # (hh, hh)
 
     # (hh, hw) clamped pred halos per channel
-    pred = [_sel(s_row, _sel(s_col, p.T).T) for p in pred48]
+    pred = [_sel_rows(s_row, _sel_cols(p, s_col)) for p in pred48]
 
     # ---- target realignment: loaded window starts at (sy, sx) ----
     cp.wait()
     t_col = _onehot_select(gx - sx, hw)  # (hw, hw)
     t_row = _onehot_select(gy - sy, hh)  # (hh, hh)
-    targ = [_sel(t_row, _sel(t_col, tscr[:, :, c].T).T) for c in range(3)]
+    targ = [_sel_rows(t_row, _sel_cols(tscr[c], t_col)) for c in range(3)]
 
     # ---- 5x5 window means + SSIM (loss.wgsl:20-72) ----
     inv = 1.0 / (WIN * WIN)
@@ -173,23 +186,37 @@ def _loss_kernel(rb_ref, cl_ref, cc_ref, cr_ref, ul_ref, uc_ref, ur_ref,
         s_sq = s_sq + jnp.sum(diff * diff * valid)
         s_ds = s_ds + jnp.sum(dssim * valid)
 
-    # ---- pixel cotangent in the rasterizer's channel layout ----
-    p_px = th * tw
-    dpix_ref[0, :, 0:3] = jnp.stack(
-        [g.reshape(p_px) for g in grad], axis=1)
-    dpix_ref[0, :, 3:4] = jnp.zeros((p_px, 1), jnp.float32)
+    # ---- pixel cotangent, planar channel layout: (th, tw) stores only ----
+    zeros = jnp.zeros((th, tw), jnp.float32)
+    for c in range(3):
+        dpix_ref[0, c] = grad[c]
     d_t = bg[0] * grad[0] + bg[1] * grad[1] + bg[2] * grad[2]
-    dpix_ref[0, :, OUT_T:OUT_T + 1] = d_t.reshape(p_px, 1)
-    dpix_ref[0, :, OUT_T + 1:NUM_OUT] = jnp.zeros(
-        (p_px, NUM_OUT - OUT_T - 1), jnp.float32)
+    for c in range(3, NUM_OUT):
+        dpix_ref[0, c] = d_t if c == OUT_T else zeros
 
-    zero = jnp.zeros((), jnp.float32)
     # (1, 1, 8) block: the singleton middle dim makes the block's last two
     # dims equal the array dims, which Mosaic's layout rules require (a
-    # (1, 8) block over an (n_tiles, 8) array is rejected on hardware)
-    sums_ref[0] = jnp.stack(
-        [s_abs, s_sq, s_ds, jnp.sum(valid),
-         zero, zero, zero, zero]).reshape(1, 8)
+    # (1, 8) block over an (n_tiles, 8) array is rejected on hardware).
+    # Row built 2D-native: scalar -> (1, 1) broadcast + lane concat.
+    z11 = jnp.zeros((1, 1), jnp.float32)
+    sums_ref[0] = jnp.concatenate(
+        [jnp.full((1, 1), s_abs, jnp.float32),
+         jnp.full((1, 1), s_sq, jnp.float32),
+         jnp.full((1, 1), s_ds, jnp.float32),
+         jnp.full((1, 1), jnp.sum(valid), jnp.float32),
+         z11, z11, z11, z11], axis=1)
+
+
+def _planar_tiles(out: jax.Array, settings: RenderSettings) -> jax.Array:
+    """(T, P, NUM_OUT) tile buffer -> channel-planar (T, NUM_OUT, th, tw)."""
+    th, tw = settings.tile_h, settings.tile_w
+    return out.reshape(out.shape[0], th, tw, NUM_OUT).transpose(0, 3, 1, 2)
+
+
+def _unplanar_tiles(dpixp: jax.Array, settings: RenderSettings) -> jax.Array:
+    """Channel-planar (T, NUM_OUT, th, tw) -> (T, P, NUM_OUT)."""
+    n = dpixp.shape[0]
+    return dpixp.transpose(0, 2, 3, 1).reshape(n, settings.tile_px, NUM_OUT)
 
 
 def tile_loss_gradient(out: jax.Array, target: jax.Array, img_w: int,
@@ -200,67 +227,17 @@ def tile_loss_gradient(out: jax.Array, target: jax.Array, img_w: int,
     out: (T, P, NUM_OUT) rasterizer forward tiles; target: (H, W, 3).
     Returns (dpix (T, P, NUM_OUT), metrics dict of scalars: the same keys
     as ops.loss.loss_metrics).
+
+    The full frame is the one-band special case of the band-sharded
+    kernel: the frame-border "halo" slices are never read (the kernel's
+    clamped selects only index rows inside the frame), so the first tile
+    row's own slices stand in for them.
     """
-    th, tw = settings.tile_h, settings.tile_w
-    p_px = settings.tile_px
-    n_tiles = ntx * nty
-
-    def row(b):
-        # block index of tile column clamp(tx-1,0,ntx-3)+b within the row
-        def f(t):
-            tx = t % ntx
-            return t - tx + jnp.clip(tx - 1, 0, ntx - 3) + b
-        return f
-
-    def vrow(dy, b):
-        def f(t):
-            tx = t % ntx
-            ty = jnp.clip(t // ntx + dy, 0, nty - 1)
-            return ty * ntx + jnp.clip(tx - 1, 0, ntx - 3) + b
-        return f
-
-    full = lambda f: pl.BlockSpec((1, p_px, NUM_OUT),
-                                  lambda t: (f(t), 0, 0))
-    # 2-pixel row slices: P in blocks of HALF*tw pixels; the bottom slice
-    # of the tile above is its last block, the top slice of the tile below
-    # is its block 0
-    n_blk = p_px // (HALF * tw)
-    edge = lambda f, blk: pl.BlockSpec((1, HALF * tw, NUM_OUT),
-                                       lambda t: (f(t), blk, 0))
-
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),  # row base (1,)
-        full(row(0)), full(row(1)), full(row(2)),
-        edge(vrow(-1, 0), n_blk - 1), edge(vrow(-1, 1), n_blk - 1),
-        edge(vrow(-1, 2), n_blk - 1),
-        edge(vrow(1, 0), 0), edge(vrow(1, 1), 0), edge(vrow(1, 2), 0),
-        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # target (H,W,3)
-    ]
-    out_specs = [
-        pl.BlockSpec((1, p_px, NUM_OUT), lambda t: (t, 0, 0)),
-        pl.BlockSpec((1, 1, 8), lambda t: (t, 0, 0)),
-    ]
-    kernel = functools.partial(
-        _loss_kernel, ntx=ntx, nty=nty, img_w=img_w, img_h=img_h,
-        cfg=cfg, settings=settings)
-    dpix, sums = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, p_px, NUM_OUT), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, 8), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((th + 2 * HALF, tw + 2 * HALF, 3), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=use_interpret_mode(),
-    )(jnp.zeros((1,), jnp.int32), out, out, out, out, out, out, out, out,
-      out, target)
-
-    return dpix, metrics_from_sums(jnp.sum(sums[:, 0, :], axis=0), cfg)
+    eb = HALF * settings.tile_w
+    dpix, sums = band_tile_loss_gradient(
+        out, out[:ntx, :eb, :], out[:ntx, :eb, :], target,
+        jnp.zeros((), jnp.int32), img_w, img_h, ntx, nty, cfg, settings)
+    return dpix, metrics_from_sums(jnp.sum(sums, axis=0), cfg)
 
 
 def metrics_from_sums(tot: jax.Array, cfg: LossConfig) -> dict:
@@ -286,8 +263,13 @@ def halo_slices(out: jax.Array, ntx: int, settings: RenderSettings):
     slice of the FIRST tile row).  These are what the caller ppermutes —
     the kernel reads nothing else of the neighbor bands, so shipping full
     tile rows would move tile_h/HALF x the required ICI bytes."""
-    eb = HALF * settings.tile_w
-    return out[-ntx:, -eb:, :], out[:ntx, :eb, :]
+    th, tw = settings.tile_h, settings.tile_w
+    t4 = out.reshape(out.shape[0], th, tw, NUM_OUT)
+    bot, top = t4[-ntx:, -HALF:, :, :], t4[:ntx, :HALF, :, :]
+    # shape from the slice, not ntx: callers may pass an empty buffer when
+    # probing past a frame border (the slices are discarded there)
+    return (bot.reshape(bot.shape[0], HALF * tw, NUM_OUT),
+            top.reshape(top.shape[0], HALF * tw, NUM_OUT))
 
 
 def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
@@ -317,15 +299,22 @@ def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
     :func:`metrics_from_sums`).
     """
     th, tw = settings.tile_h, settings.tile_w
-    p_px = settings.tile_px
     band_tiles = rows * ntx
-    eb = HALF * tw
+    outp = _planar_tiles(out, settings)
+    targp = target.transpose(2, 0, 1)  # (3, H, W)
+
+    def halo_planar(h):
+        # (ntx, HALF*tw, NUM_OUT) -> (ntx, NUM_OUT, HALF, tw)
+        return h.reshape(ntx, HALF, tw, NUM_OUT).transpose(0, 3, 1, 2)
+
     # per-tile vertical-neighbor blocks: above[t] = bottom slice of the
     # tile directly above tile t, below[t] = top slice of the tile below
     # (O(band * HALF/th) bytes — the old full-band ext concatenation
     # copied the whole tile buffer once per step)
-    above = jnp.concatenate([halo_top, out[:-ntx, -eb:, :]], axis=0)
-    below = jnp.concatenate([out[ntx:, :eb, :], halo_bot], axis=0)
+    above = jnp.concatenate(
+        [halo_planar(halo_top), outp[:-ntx, :, -HALF:, :]], axis=0)
+    below = jnp.concatenate(
+        [outp[ntx:, :, :HALF, :], halo_planar(halo_bot)], axis=0)
 
     def row(b):
         def f(t):
@@ -333,9 +322,10 @@ def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
             return t - tx + jnp.clip(tx - 1, 0, ntx - 3) + b
         return f
 
-    full = lambda f: pl.BlockSpec((1, p_px, NUM_OUT),
-                                  lambda t: (f(t), 0, 0))
-    edge = lambda f: pl.BlockSpec((1, eb, NUM_OUT), lambda t: (f(t), 0, 0))
+    full = lambda f: pl.BlockSpec((1, NUM_OUT, th, tw),
+                                  lambda t: (f(t), 0, 0, 0))
+    edge = lambda f: pl.BlockSpec((1, NUM_OUT, HALF, tw),
+                                  lambda t: (f(t), 0, 0, 0))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
         full(row(0)), full(row(1)), full(row(2)),
@@ -344,26 +334,26 @@ def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
     ]
     out_specs = [
-        pl.BlockSpec((1, p_px, NUM_OUT), lambda t: (t, 0, 0)),
+        pl.BlockSpec((1, NUM_OUT, th, tw), lambda t: (t, 0, 0, 0)),
         pl.BlockSpec((1, 1, 8), lambda t: (t, 0, 0)),
     ]
     kernel = functools.partial(
         _loss_kernel, ntx=ntx, nty=rows, img_w=img_w, img_h=img_h,
         cfg=cfg, settings=settings)
-    dpix, sums = pl.pallas_call(
+    dpixp, sums = pl.pallas_call(
         kernel,
         grid=(band_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((band_tiles, p_px, NUM_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((band_tiles, NUM_OUT, th, tw), jnp.float32),
             jax.ShapeDtypeStruct((band_tiles, 1, 8), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * HALF, tw + 2 * HALF, 3), jnp.float32),
+            pltpu.VMEM((3, th + 2 * HALF, tw + 2 * HALF), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=use_interpret_mode(),
-    )(row_base.reshape(1).astype(jnp.int32), out, out, out,
-      above, above, above, below, below, below, target)
-    return dpix, sums[:, 0, :]
+    )(row_base.reshape(1).astype(jnp.int32), outp, outp, outp,
+      above, above, above, below, below, below, targp)
+    return _unplanar_tiles(dpixp, settings), sums[:, 0, :]
