@@ -104,6 +104,32 @@ def main():
     rec("bin/hist", lambda a: B._tile_histogram(
         a, jnp.cumsum(a.num_tiles) <= cap, ntx, nty), (aux,))
 
+    # full expansion incl. the per-entry key math (slot % / // by a
+    # per-entry divisor — dynamic integer div/mod is not free on the VPU)
+    rec("bin/expand(keys)", lambda a: B.expand_entries(a, ntx, cap), (aux,))
+
+    def expand_sort(a):
+        key, g, counts, total, keep = B.expand_entries(a, ntx, cap)
+        source = jnp.arange(cap, dtype=jnp.int32)
+        return jax.lax.sort((key, source), num_keys=1)
+
+    rec("bin/expand+sort(real)", expand_sort, (aux,))
+
+    def hist_realign(a):
+        tc = B._tile_histogram(a, jnp.cumsum(a.num_tiles) <= cap, ntx, nty)
+        to, ao, uo = B.aligned_tile_layout(tc, s.chunk)
+        a_cap = cap + ntx * nty * s.chunk
+        return B.realign_sorted(to, ao, uo, tc, a_cap, s.chunk,
+                                ntx * nty, cap)
+
+    rec("bin/hist+realign-idx", hist_realign, (aux,))
+
+    # final gathers at realigned capacity (sorted arrays precomputed)
+    sg_pre, ss_pre = jax.jit(expand_sort)(aux)
+    src_pre, _ = jax.jit(hist_realign)(aux)
+    rec("bin/final-gathers", lambda sg, ss, si: (sg[si], ss[si]),
+        (sg_pre, ss_pre, src_pre))
+
     def sort2(k, g):
         return jax.lax.sort((k, g), num_keys=1)
 
@@ -128,6 +154,13 @@ def main():
         return jnp.zeros((n, 16), jnp.float32).at[b.entry_gauss].add(rows_)
 
     rec("grad scatter-add", scatter_rows, (a16, bins))
+
+    # the step's REAL reduction path (sort-order segment sums; the scatter
+    # above is the comparison point it replaced)
+    rows_big = jnp.ones((bins.entry_gauss.shape[0], 16), jnp.float32)
+    rec("grad segment-reduce", lambda rr, b: RZ.segment_reduce_entries(
+        cap, rr, b.entry_valid, b.entry_source, b.gauss_counts),
+        (rows_big, bins))
 
     # the step's actual loss path since round 3: cotangent + metrics on the
     # tile buffer (ops/tile_loss.py); the image-space stages below are the
