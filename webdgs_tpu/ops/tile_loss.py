@@ -19,8 +19,12 @@ keeps everything in tile space:
   nine auto-pipelined BlockSpec inputs (full left/center/right tiles of
   its row band plus 2-pixel row slices of the bands above and below) —
   the 2-pixel halo a 5x5 window needs;
-* the ground-truth window is one 3x20x20 async copy from the planar
-  (3, H, W) target with a border-clamped start, realigned in-register;
+* the ground truth rides the SAME nine-block neighborhood: the target is
+  re-tiled once per call into the planar tile layout (one cheap XLA
+  transpose of a 3-channel image) and enters through auto-pipelined
+  BlockSpecs, so every target access is tile-aligned by construction (a
+  manual 3x20x20 HBM window DMA violates Mosaic's (8,128) slice-alignment
+  rule on hardware — the round-3 on-chip compile blocker);
 * border replication (the reference's clamped textureLoad) and image-crop
   alignment are one-hot row/column select matmuls built from iotas —
   exact at HIGHEST precision, 20x48 at most; column selection contracts
@@ -99,8 +103,10 @@ def _box(x: jax.Array, th: int, tw: int):
 
 
 def _loss_kernel(rb_ref, cl_ref, cc_ref, cr_ref, ul_ref, uc_ref, ur_ref,
-                 dl_ref, dc_ref, dr_ref, target_ref, dpix_ref, sums_ref,
-                 tscr, tsem, *, ntx: int, nty: int, img_w: int, img_h: int,
+                 dl_ref, dc_ref, dr_ref,
+                 tcl_ref, tcc_ref, tcr_ref, tul_ref, tuc_ref, tur_ref,
+                 tdl_ref, tdc_ref, tdr_ref, dpix_ref, sums_ref,
+                 *, ntx: int, nty: int, img_w: int, img_h: int,
                  cfg: LossConfig, settings: RenderSettings):
     th, tw = settings.tile_h, settings.tile_w
     hh, hw = th + 2 * HALF, tw + 2 * HALF
@@ -115,23 +121,24 @@ def _loss_kernel(rb_ref, cl_ref, cc_ref, cr_ref, ul_ref, uc_ref, ur_ref,
     y0 = ty * th
     bg = settings.background
 
-    # ---- ground-truth window DMA first; realigned after the pred math ----
-    sx = jnp.clip(x0 - HALF, 0, img_w - hw)
-    sy = jnp.clip(y0 - HALF, 0, img_h - hh)
-    cp = pltpu.make_async_copy(
-        target_ref.at[:, pl.ds(sy, hh), pl.ds(sx, hw)], tscr, tsem)
-    cp.start()
-
     # ---- assemble the (hh, tw*3) channel planes of the tile row band ----
-    def plane(c):
+    def band(l_ref, c_ref, r_ref, u3, d3, c):
         # planar refs: channel read = leading-dim index -> (rows, tw)
         mid = jnp.concatenate(
-            [cl_ref[0, c], cc_ref[0, c], cr_ref[0, c]], axis=1)
-        top = jnp.concatenate(
-            [ul_ref[0, c], uc_ref[0, c], ur_ref[0, c]], axis=1)
-        bot = jnp.concatenate(
-            [dl_ref[0, c], dc_ref[0, c], dr_ref[0, c]], axis=1)
+            [l_ref[0, c], c_ref[0, c], r_ref[0, c]], axis=1)
+        top = jnp.concatenate([u3[0][0, c], u3[1][0, c], u3[2][0, c]],
+                              axis=1)
+        bot = jnp.concatenate([d3[0][0, c], d3[1][0, c], d3[2][0, c]],
+                              axis=1)
         return jnp.concatenate([top, mid, bot], axis=0)  # (hh, 3*tw)
+
+    def plane(c):
+        return band(cl_ref, cc_ref, cr_ref, (ul_ref, uc_ref, ur_ref),
+                    (dl_ref, dc_ref, dr_ref), c)
+
+    def tplane(c):
+        return band(tcl_ref, tcc_ref, tcr_ref, (tul_ref, tuc_ref, tur_ref),
+                    (tdl_ref, tdc_ref, tdr_ref), c)
 
     ts = jnp.clip(tx - 1, 0, ntx - 3)  # leftmost tile of the band
     t_plane = plane(OUT_T)
@@ -148,14 +155,10 @@ def _loss_kernel(rb_ref, cl_ref, cc_ref, cr_ref, ul_ref, uc_ref, ur_ref,
     gy = jnp.clip(y0 - HALF + ih, 0, img_h - 1)  # (hh, 1)
     s_row = _onehot_select(gy - (y0 - HALF), hh)  # (hh, hh)
 
-    # (hh, hw) clamped pred halos per channel
+    # (hh, hw) clamped pred/target halos per channel — the target band is
+    # pre-tiled into the same layout, so the SAME clamped selects apply
     pred = [_sel_rows(s_row, _sel_cols(p, s_col)) for p in pred48]
-
-    # ---- target realignment: loaded window starts at (sy, sx) ----
-    cp.wait()
-    t_col = _onehot_select(gx - sx, hw)  # (hw, hw)
-    t_row = _onehot_select(gy - sy, hh)  # (hh, hh)
-    targ = [_sel_rows(t_row, _sel_cols(tscr[c], t_col)) for c in range(3)]
+    targ = [_sel_rows(s_row, _sel_cols(tplane(c), s_col)) for c in range(3)]
 
     # ---- 5x5 window means + SSIM (loss.wgsl:20-72) ----
     inv = 1.0 / (WIN * WIN)
@@ -301,7 +304,34 @@ def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
     th, tw = settings.tile_h, settings.tile_w
     band_tiles = rows * ntx
     outp = _planar_tiles(out, settings)
+
+    # ---- target -> planar tile layout (3-channel analogue of outp) ----
+    # One cheap XLA re-tile per call; every kernel-side target access then
+    # rides tile-aligned BlockSpecs (Mosaic rejects the unaligned window
+    # DMA this replaces).  Pad is zeros: the kernel's clamped selects never
+    # read past the frame border.
+    glob_ty = -(-img_h // th)
     targp = target.transpose(2, 0, 1)  # (3, H, W)
+    targp = jnp.pad(targp, ((0, 0), (0, glob_ty * th - img_h),
+                            (0, ntx * tw - img_w)))
+    tt = targp.reshape(3, glob_ty, th, ntx, tw).transpose(
+        1, 3, 0, 2, 4).reshape(glob_ty * ntx, 3, th, tw)
+    if band_tiles > tt.shape[0]:  # padding bands past the frame
+        tt = jnp.pad(tt, ((0, band_tiles - tt.shape[0]), (0, 0), (0, 0),
+                          (0, 0)))
+    rb = row_base.reshape(()).astype(jnp.int32)
+    band_t = jax.lax.dynamic_slice_in_dim(tt, rb * ntx, band_tiles, 0)
+    # neighbor-row boundary slices (replicated target: no exchange needed;
+    # out-of-frame starts clamp to in-frame rows whose content the kernel's
+    # border-clamped selects never read)
+    above_row = jax.lax.dynamic_slice_in_dim(
+        tt, (rb - 1) * ntx, ntx, 0)[:, :, -HALF:, :]
+    below_row = jax.lax.dynamic_slice_in_dim(
+        tt, (rb + rows) * ntx, ntx, 0)[:, :, :HALF, :]
+    above_t = jnp.concatenate([above_row, band_t[:-ntx, :, -HALF:, :]],
+                              axis=0)
+    below_t = jnp.concatenate([band_t[ntx:, :, :HALF, :], below_row],
+                              axis=0)
 
     def halo_planar(h):
         # (ntx, HALF*tw, NUM_OUT) -> (ntx, NUM_OUT, HALF, tw)
@@ -322,16 +352,19 @@ def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
             return t - tx + jnp.clip(tx - 1, 0, ntx - 3) + b
         return f
 
-    full = lambda f: pl.BlockSpec((1, NUM_OUT, th, tw),
-                                  lambda t: (f(t), 0, 0, 0))
-    edge = lambda f: pl.BlockSpec((1, NUM_OUT, HALF, tw),
-                                  lambda t: (f(t), 0, 0, 0))
+    blk = lambda ch, h, f: pl.BlockSpec((1, ch, h, tw),
+                                        lambda t, _f=f: (_f(t), 0, 0, 0))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
-        full(row(0)), full(row(1)), full(row(2)),
-        edge(row(0)), edge(row(1)), edge(row(2)),
-        edge(row(0)), edge(row(1)), edge(row(2)),
-        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        blk(NUM_OUT, th, row(0)), blk(NUM_OUT, th, row(1)),
+        blk(NUM_OUT, th, row(2)),
+        blk(NUM_OUT, HALF, row(0)), blk(NUM_OUT, HALF, row(1)),
+        blk(NUM_OUT, HALF, row(2)),
+        blk(NUM_OUT, HALF, row(0)), blk(NUM_OUT, HALF, row(1)),
+        blk(NUM_OUT, HALF, row(2)),
+        blk(3, th, row(0)), blk(3, th, row(1)), blk(3, th, row(2)),
+        blk(3, HALF, row(0)), blk(3, HALF, row(1)), blk(3, HALF, row(2)),
+        blk(3, HALF, row(0)), blk(3, HALF, row(1)), blk(3, HALF, row(2)),
     ]
     out_specs = [
         pl.BlockSpec((1, NUM_OUT, th, tw), lambda t: (t, 0, 0, 0)),
@@ -349,11 +382,9 @@ def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
             jax.ShapeDtypeStruct((band_tiles, NUM_OUT, th, tw), jnp.float32),
             jax.ShapeDtypeStruct((band_tiles, 1, 8), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((3, th + 2 * HALF, tw + 2 * HALF), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=use_interpret_mode(),
-    )(row_base.reshape(1).astype(jnp.int32), outp, outp, outp,
-      above, above, above, below, below, below, targp)
+    )(rb.reshape(1), outp, outp, outp,
+      above, above, above, below, below, below,
+      band_t, band_t, band_t, above_t, above_t, above_t,
+      below_t, below_t, below_t)
     return _unplanar_tiles(dpixp, settings), sums[:, 0, :]
