@@ -32,9 +32,19 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
         echo "[watch3] all stages done/failed at $(date -u +%H:%M:%S)" | tee -a "$LOG"
         exit 0
     fi
+    if [ -f /tmp/onchip_pause ]; then
+        # the session is editing hot code: running a stage against a
+        # half-edited working tree produces garbage results (learned the
+        # hard way: a mid-edit kernel signature failed a whole on-chip
+        # tests stage).  rm /tmp/onchip_pause to resume.
+        echo "[watch3] paused at $(date -u +%H:%M:%S)" >>"$LOG"
+        sleep 60
+        continue
+    fi
     if probe; then
         echo "[watch3] TPU UP at $(date -u +%H:%M:%S); remaining:$remaining" | tee -a "$LOG"
         for s in $remaining; do
+            [ -f /tmp/onchip_pause ] && break
             echo "[watch3] stage $s start $(date -u +%H:%M:%S)" | tee -a "$LOG"
             bash scripts/onchip_r2.sh "$s" >>"$LOG" 2>&1
             rc=$?

@@ -111,34 +111,20 @@ def main():
     def expand_sort(a):
         key, g, counts, total, keep = B.expand_entries(a, ntx, cap)
         source = jnp.arange(cap, dtype=jnp.int32)
-        return jax.lax.sort((key, source), num_keys=1)
+        return jax.lax.sort((key, g, source), num_keys=1)
 
     rec("bin/expand+sort(real)", expand_sort, (aux,))
 
-    def hist_realign(a):
-        tc = B._tile_histogram(a, jnp.cumsum(a.num_tiles) <= cap, ntx, nty)
-        to, ao, uo = B.aligned_tile_layout(tc, s.chunk)
-        a_cap = cap + ntx * nty * s.chunk
-        return B.realign_sorted(to, ao, uo, tc, a_cap, s.chunk,
-                                ntx * nty, cap)
+    def sort3(k, g, src):
+        return jax.lax.sort((k, g, src), num_keys=1)
 
-    rec("bin/hist+realign-idx", hist_realign, (aux,))
-
-    # final gathers at realigned capacity (sorted arrays precomputed)
-    sg_pre, ss_pre = jax.jit(expand_sort)(aux)
-    src_pre, _ = jax.jit(hist_realign)(aux)
-    rec("bin/final-gathers", lambda sg, ss, si: (sg[si], ss[si]),
-        (sg_pre, ss_pre, src_pre))
-
-    def sort2(k, g):
-        return jax.lax.sort((k, g), num_keys=1)
-
-    # the real sort size since the round-2 counting-sort realignment:
-    # only the e_cap expansion slots, no alignment padding
+    # the real sort since the round-3 windowed layout: e_cap slots, key +
+    # gaussian-id + expansion-slot payloads; sorted order IS the layout
     keys0 = jax.random.randint(jax.random.PRNGKey(0), (cap,), 0,
                                1 << 30).astype(jnp.uint32)
     gauss0 = jnp.zeros_like(keys0).astype(jnp.int32)
-    rec(f"bin/sort(k,g) {cap/1e3:.0f}k", sort2, (keys0, gauss0))
+    rec(f"bin/sort(k,g,s) {cap/1e3:.0f}k", sort3,
+        (keys0, gauss0, gauss0 + 1))
 
     rec("pack gather", lambda at, b: RZ.pack_entry_attrs(
         at, b.entry_gauss, b.entry_valid, s), (attrs, bins))
@@ -161,6 +147,16 @@ def main():
     rec("grad segment-reduce", lambda rr, b: RZ.segment_reduce_entries(
         cap, rr, b.entry_valid, b.entry_source, b.gauss_counts),
         (rows_big, bins))
+
+    # segment-reduce internals
+    ids0 = jnp.arange(cap, dtype=jnp.int32)
+    rec("segred/inv-sort", lambda src: jax.lax.sort((src, ids0),
+                                                    num_keys=1),
+        (bins.entry_source,))
+    inv_pre = jax.jit(lambda src: jax.lax.sort(
+        (src, ids0), num_keys=1)[1])(bins.entry_source)
+    rec("segred/row-gather", lambda rr, iv: rr[iv], (rows_big, inv_pre))
+    rec("segred/cumsum", lambda rr: jnp.cumsum(rr, axis=0), (rows_big,))
 
     # the step's actual loss path since round 3: cotangent + metrics on the
     # tile buffer (ops/tile_loss.py); the image-space stages below are the

@@ -48,7 +48,7 @@ def test_binning_invariants(seed, n, w, h, capacity, with_source):
         (np.frombuffer(np.asarray(aux.depth).tobytes(), np.uint32)
          ^ np.uint32(0x80000000)) >> 16, 0xFFFE).astype(np.int64)
 
-    e_cap = (bins.capacity - ntx * nty * settings.chunk)
+    e_cap = bins.capacity
     # whole-Gaussian drop at the budget: kept prefix by cumulative count
     keep = np.cumsum(num_tiles) <= e_cap
     kept_counts = np.where(keep, num_tiles, 0)
@@ -59,14 +59,14 @@ def test_binning_invariants(seed, n, w, h, capacity, with_source):
     assert int(tile_counts.sum()) == total
     valid = np.asarray(bins.entry_valid)
     assert int(valid.sum()) == total
+    # sorted layout: exactly the first `total` slots are valid
+    np.testing.assert_array_equal(valid, np.arange(e_cap) < total)
 
-    # aligned ranges: offsets deltas are the chunk-rounded counts
+    # unaligned ranges: offsets are the plain cumsum of per-tile counts
     offs = np.asarray(bins.tile_offsets)
-    chunk = settings.chunk
-    np.testing.assert_array_equal(
-        offs[1:] - offs[:-1], -(-tile_counts // chunk) * chunk)
+    np.testing.assert_array_equal(offs[1:] - offs[:-1], tile_counts)
 
-    # per-slot: the slot's tile (from the aligned ranges) must be covered
+    # per-slot: the slot's tile (from the ranges) must be covered
     # by its gaussian's tile rect, and per-tile counts must match exactly
     gauss = np.asarray(bins.entry_gauss)
     slot_tile = np.searchsorted(offs[1:], np.arange(offs[-1]), side="right")

@@ -14,18 +14,17 @@ designed so *nothing O(entries) is ever binary-searched or scattered*:
   followed by ONE row-gather of the packed per-Gaussian binning fields;
 * entries carry the reference's exact 32-bit sort key
   ``(tile_id << 16) | (ordered_depth >> 16)`` (tiled-forward.wgsl:121-136)
-  and are sorted by one ``jax.lax.sort`` with an index payload;
-* the rasterizer wants every tile's entry range chunk-aligned (DMA slices in
-  the lane dimension must be 128-aligned).  Per-tile occupancy comes from a
+  and are sorted by one ``jax.lax.sort`` with the payloads the consumers
+  need (gaussian id, expansion slot) — the sorted array IS the final
+  layout;
+* tile ranges are just a cumsum of per-tile counts, which come from a
   corner-scatter 2D prefix-sum over the Gaussians' tile rects (an O(N)
-  histogram, not O(E)), which fixes every tile's *aligned* range up front;
-  only the real entries are sorted, and the counting-sort-style realignment
-  into the padded layout is a pure gather: output slot ``k`` (in tile ``t``,
-  found per 128-slot chunk since range starts are chunk multiples) reads
-  sorted slot ``k - (aligned_offset[t] - unaligned_offset[t])`` and is
-  valid while ``k - aligned_offset[t] < count[t]``.  No padding entries
-  ever enter the sort (they used to add total_tiles*chunk slots to it),
-  and tile offsets are just a cumsum over tiles.
+  histogram via one MXU matmul, not O(E)).  The ranges are UNALIGNED: the
+  rasterizer kernels DMA chunk-aligned superset windows and mask foreign
+  boundary slots by index arithmetic (ops/rasterize.py:_tile_window), so
+  no O(entries) realignment gather ever runs (the round-2 counting-sort
+  realignment cost 37 ms of gathers at 786k entries on a v5e chip —
+  2/3 of the whole binning stage).
 
 Entries beyond the static capacity are dropped whole-Gaussian, mirroring the
 reference's maxTileEntries budget (src/renderers/tiled-forward-pass.ts:
@@ -50,15 +49,15 @@ def tile_grid(img_w: int, img_h: int,
 
 
 class Binning(NamedTuple):
-    entry_gauss: jax.Array  # (A,) i32 — gaussian index per sorted entry slot
-    entry_valid: jax.Array  # (A,) bool — alignment/overflow padding is False
-    tile_offsets: jax.Array  # (T+1,) i32 — chunk-aligned entry ranges
-    tile_counts: jax.Array  # (T,) i32 — real (unpadded) entries per tile
+    entry_gauss: jax.Array  # (E,) i32 — gaussian index per sorted entry slot
+    entry_valid: jax.Array  # (E,) bool — slots past the real total are False
+    tile_offsets: jax.Array  # (T+1,) i32 — unaligned cumulative entry counts
+    tile_counts: jax.Array  # (T,) i32 — entries per tile
     total_entries: jax.Array  # () i32 — real entries across all tiles
     # present when the sort carried the expansion-slot payload (the
     # large-scale gradient-reduction path needs it): the pre-sort expansion
     # index of each sorted slot, and the per-Gaussian valid entry counts
-    entry_source: jax.Array | None  # (A,) i32 or None
+    entry_source: jax.Array | None  # (E,) i32 or None
     gauss_counts: jax.Array | None  # (N,) i32 or None
 
     @property
@@ -73,13 +72,6 @@ def entry_capacity(n: int, settings: RenderSettings) -> int:
               settings.max_tile_entries)
     chunk = settings.chunk
     return max(-(-est // chunk) * chunk, chunk)
-
-
-def aligned_capacity(n: int, total_tiles: int, settings: RenderSettings,
-                     capacity: int | None = None) -> int:
-    e_cap = capacity if capacity is not None else entry_capacity(n, settings)
-    # worst case: every tile needs one partial chunk of padding
-    return e_cap + total_tiles * settings.chunk
 
 
 def _ordered_depth16(depth: jax.Array) -> jax.Array:
@@ -181,8 +173,20 @@ def expand_entries(aux: SplatAux, ntx: int, e_cap: int):
     valid = e_idx < total
     slot = e_idx - ef[:, 0]
     tiles_x = jnp.maximum(ef[:, 3], 1)  # repeat pads with the last gaussian,
-    tx = ef[:, 1] + slot % tiles_x      # which may have degenerate dims
-    ty = ef[:, 2] + slot // tiles_x
+    # which may have degenerate dims.  slot // tiles_x via f32 reciprocal:
+    # XLA expands i32 division bit-serially on the VPU (~2.5 ms at 786k
+    # entries on a v5e chip); both operands are < 2^13 (<= 2048 tiles per
+    # gaussian, tiled-forward.wgsl:275), so one f32 divide is within 1 of
+    # the true quotient and a single correction step makes it exact.
+    q = jnp.floor(slot.astype(jnp.float32)
+                  / tiles_x.astype(jnp.float32)).astype(jnp.int32)
+    r = slot - q * tiles_x
+    over = r >= tiles_x
+    under = r < 0
+    q = q + over.astype(jnp.int32) - under.astype(jnp.int32)
+    r = (r - jnp.where(over, tiles_x, 0) + jnp.where(under, tiles_x, 0))
+    tx = ef[:, 1] + r
+    ty = ef[:, 2] + q
     tile = (ty * ntx + tx).astype(jnp.uint32)
     # the reference's combined key (tiled-forward.wgsl:133-136), without its
     # +1 tile bias: invalid entries get the all-ones key and sort last
@@ -193,7 +197,12 @@ def expand_entries(aux: SplatAux, ntx: int, e_cap: int):
 
 def aligned_tile_layout(tile_counts: jax.Array, chunk: int):
     """Chunk-aligned per-tile ranges from exact per-tile counts.  Returns
-    (tile_offsets (T+1,), aligned_off (T,), unaligned_off (T,))."""
+    (tile_offsets (T+1,), aligned_off (T,), unaligned_off (T,)).
+
+    Used by the sharded exchange paths (parallel/sharding.py), which
+    materialize entry rows into per-tile ranges after an all_to_all; the
+    single-device path keeps entries in sort order instead and lets the
+    rasterizer window over them (see module docstring)."""
     aligned_counts = -(-tile_counts // chunk) * chunk
     unaligned_off = jnp.cumsum(tile_counts) - tile_counts
     aligned_off = jnp.cumsum(aligned_counts) - aligned_counts
@@ -228,50 +237,41 @@ def bin_splats(aux: SplatAux, img_w: int, img_h: int,
                with_source: bool | None = None) -> Binning:
     n = aux.num_tiles.shape[0]
     e_cap = capacity if capacity is not None else entry_capacity(n, settings)
-    chunk = settings.chunk
     ntx, nty = tile_grid(img_w, img_h, settings)
     total_tiles = ntx * nty
     check_tile_key_limit(total_tiles)
-    pad_cap = total_tiles * chunk
 
     key, g, counts, total, keep = expand_entries(aux, ntx, e_cap)
 
     if with_source is None:
         with_source = e_cap >= settings.grad_reduce_threshold
 
-    # --- depth sort of the real entries only (the reference sorts the same
-    # set, radix_sort.wgsl; alignment padding never enters the sort) ---
+    # --- ONE depth sort; the sorted order is the final entry layout (the
+    # reference's radix_sort.wgsl + atomicMin tile-ranges pass collapse to
+    # this sort + the histogram cumsum below) ---
     if with_source:
-        # single payload through the sort network; gauss ids are recovered
-        # by one gather afterwards
         source = jnp.arange(e_cap, dtype=jnp.int32)
-        _, sorted_source = jax.lax.sort((key, source), num_keys=1)
-        sorted_gauss = g[sorted_source]
+        _, sorted_gauss, sorted_source = jax.lax.sort((key, g, source),
+                                                      num_keys=1)
     else:
         _, sorted_gauss = jax.lax.sort((key, g), num_keys=1)
         sorted_source = None
 
-    # --- counting-sort realignment: scatter-free placement of the sorted
-    # entries into chunk-aligned per-tile ranges, derived purely from the
-    # corner-histogram (replaces the reference's atomicMin tile-ranges pass,
-    # tile-ranges.wgsl:73-104) ---
+    # --- unaligned tile ranges from the O(N) corner histogram; the
+    # rasterizer kernels window over them chunk-aligned ---
     tile_counts = _tile_histogram(aux, keep, ntx, nty)
-    tile_offsets, aligned_off, unaligned_off = aligned_tile_layout(
-        tile_counts, chunk)
+    tile_offsets = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(tile_counts).astype(jnp.int32),
+    ])
 
-    a_cap = e_cap + pad_cap
-    src, out_valid = realign_sorted(tile_offsets, aligned_off, unaligned_off,
-                                    tile_counts, a_cap, chunk, total_tiles,
-                                    e_cap)
-    entry_gauss = sorted_gauss[src]
-    entry_source = sorted_source[src] if with_source else None
-
+    e_idx = jnp.arange(e_cap, dtype=jnp.int32)
     return Binning(
-        entry_gauss=entry_gauss,
-        entry_valid=out_valid,
+        entry_gauss=sorted_gauss,
+        entry_valid=e_idx < total,
         tile_offsets=tile_offsets,
         tile_counts=tile_counts,
         total_entries=total,
-        entry_source=entry_source,
+        entry_source=sorted_source,
         gauss_counts=counts if with_source else None,
     )

@@ -46,7 +46,8 @@ def metric_flag_map(pred: jax.Array, target: jax.Array,
 
 
 def _metric_kernel(offsets_ref, attrs_ref, pix_ref, out_ref, scr, cnt_scr,
-                   sem, osem, *, ntx: int, settings: RenderSettings):
+                   rscr, sem, osem, rsem, *, ntx: int,
+                   settings: RenderSettings):
     """Per-tile replay with the same prefetch discipline as the rasterizer
     kernels: double-buffered input DMA, double-buffered count write-out,
     and two work bounds the serial version lacked — entries past every
@@ -56,8 +57,8 @@ def _metric_kernel(offsets_ref, attrs_ref, pix_ref, out_ref, scr, cnt_scr,
     return)."""
     k = settings.chunk
     t = pl.program_id(0)
-    start = offsets_ref[t]
-    nch = (offsets_ref[t + 1] - start) // k
+    base, uo, cnt, nch = raster_ops._tile_window(offsets_ref, t, k)
+    skip = uo - base
 
     pxf, pyf = _pixel_coords(t, ntx, settings)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
@@ -65,23 +66,34 @@ def _metric_kernel(offsets_ref, attrs_ref, pix_ref, out_ref, scr, cnt_scr,
     n_contrib = pix_ref[0, :, 1:2]
 
     # chunks at positions beyond every flagged pixel's last contributor
-    # produce all-zero counts; skip them (zero-filled below)
+    # produce all-zero counts; skip them (zero-filled below).  Chunk 0 is
+    # always processed so the shared-boundary accumulate below runs.
     max_nc = jnp.max(jnp.where(flagged > 0.0, n_contrib, 0.0))
-    live = jnp.minimum(nch, (max_nc.astype(jnp.int32) + k - 1) // k)
+    live = jnp.minimum(nch, jnp.maximum(
+        (max_nc.astype(jnp.int32) + skip + k - 1) // k, 1))
 
     def chunk_dma(c, slot):
-        base = pl.multiple_of(start + c * k, k)
+        start = pl.multiple_of(base + c * k, k)
         return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(base, k)], scr.at[slot], sem.at[slot])
+            attrs_ref.at[:, pl.ds(start, k)], scr.at[slot], sem.at[slot])
 
     def out_dma(c, slot):
-        base = pl.multiple_of(start + c * k, k)
+        start = pl.multiple_of(base + c * k, k)
         return pltpu.make_async_copy(
-            cnt_scr.at[slot], out_ref.at[:, pl.ds(base, k)], osem.at[slot])
+            cnt_scr.at[slot], out_ref.at[:, pl.ds(start, k)], osem.at[slot])
+
+    # the window's first chunk may be shared with the previous tile's last
+    # chunk (skip > 0): accumulate instead of clobbering, exactly like the
+    # backward rasterizer's rmw (ops/rasterize.py:_bwd_kernel)
+    def rmw_dma():
+        start = pl.multiple_of(base, k)
+        return pltpu.make_async_copy(
+            out_ref.at[:, pl.ds(start, k)], rscr, rsem)
 
     @pl.when(live > 0)
     def _():
         chunk_dma(0, 0).start()
+        rmw_dma().start()
 
     def body(c, _):
         slot = c % 2
@@ -98,11 +110,20 @@ def _metric_kernel(offsets_ref, attrs_ref, pix_ref, out_ref, scr, cnt_scr,
         def _():
             out_dma(c - 2, slot).wait()
 
-        alpha, _, _, _ = _chunk_alpha(scr[slot], pxf, pyf, settings)
-        pos = (c * k + lane + 1).astype(jnp.float32)
+        alpha, _, _, _ = _chunk_alpha(
+            scr[slot], pxf, pyf, settings,
+            raster_ops._window_mask(base, uo, cnt, c, lane, k))
+        pos = (base + c * k + lane - uo + 1).astype(jnp.float32)
         m = ((alpha >= settings.alpha_min) & (pos <= n_contrib)
              & (flagged > 0.0)).astype(jnp.float32)
-        cnt_scr[slot, 0:1, :] = jnp.sum(m, axis=0, keepdims=True)
+        counts_row = jnp.sum(m, axis=0, keepdims=True)
+
+        @pl.when(c == 0)
+        def _():
+            rmw_dma().wait()
+
+        cnt_scr[slot, 0:1, :] = jnp.where(
+            (c == 0) & (skip > 0), counts_row + rscr[0:1, :], counts_row)
         out_dma(c, slot).start()
         return 0
 
@@ -156,8 +177,10 @@ def _entry_counts(attrs16, tile_offsets, pix_tiles, num_tiles_x, num_tiles_y,
         scratch_shapes=[
             pltpu.VMEM((2, raster_ops.NUM_ROWS, k), jnp.float32),
             pltpu.VMEM((2, 1, k), jnp.float32),
+            pltpu.VMEM((1, k), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     kernel = functools.partial(_metric_kernel, ntx=num_tiles_x,
@@ -200,9 +223,8 @@ def view_importance_counts(scene_params, alive, sh_deg, camera: Camera,
     if bins.entry_source is not None:
         # per-Gaussian sums without the large-scale XLA scatter-add (same
         # prefix-segment reduction as the gradient path)
-        e_cap = bins.capacity - ntx * nty * settings.chunk
         return raster_ops.segment_reduce_entries(
-            e_cap, entry_counts[:, None], bins.entry_valid,
+            bins.capacity, entry_counts[:, None], bins.entry_valid,
             bins.entry_source, bins.gauss_counts)[:, 0]
     entry_counts = jnp.where(bins.entry_valid, entry_counts, 0.0)
     return jnp.zeros((n,), jnp.float32).at[bins.entry_gauss].add(entry_counts)

@@ -76,9 +76,42 @@ OUT_NCONTRIB = 5
 NUM_OUT = 8
 
 
-def _chunk_alpha(scr, pxf, pyf, settings: RenderSettings):
+def _tile_window(offsets_ref, t, k):
+    """Chunk-aligned DMA window covering tile ``t``'s entry range.
+
+    ``offsets_ref`` holds the UNALIGNED per-tile entry offsets (a plain
+    cumsum of real counts): the kernels read the aligned superset window
+    ``[base, base + nch*k)`` and mask the foreign slots by index arithmetic
+    — realigning the consumer instead of the data deletes the O(entries)
+    realignment gathers the binning stage used to pay.  Chunk-aligned
+    offsets (the sharded exchange layouts) are the ``skip == 0`` special
+    case and behave exactly as before.
+
+    Returns (base, uo, cnt, nch): aligned window start, the tile's first
+    real slot, its real entry count, and the window's chunk count.
+    """
+    uo = offsets_ref[t]
+    cnt = offsets_ref[t + 1] - uo
+    base = (uo // k) * k
+    skip = uo - base
+    nch = jnp.where(cnt > 0, (skip + cnt + k - 1) // k, 0)
+    return base, uo, cnt, nch
+
+
+def _window_mask(base, uo, cnt, c, lane, k):
+    """(1, K) validity of window chunk ``c``'s lanes: inside the tile's
+    real entry range (foreign boundary slots belong to a neighbor tile —
+    possibly the SAME Gaussian binned there too, so they must not
+    composite here)."""
+    sl = base + c * k + lane
+    return (sl >= uo) & (sl < uo + cnt)
+
+
+def _chunk_alpha(scr, pxf, pyf, settings: RenderSettings, mask=None):
     """Per-(pixel, splat) alpha for one chunk.
 
+    ``mask``: optional (1, K) lane validity; masked lanes get alpha 0 (an
+    exact no-op in the compositor and a zero in every gradient).
     Returns (alpha (P,K), gaussian weight G (P,K), dx, dy).
     """
     cx = scr[ROW_CX:ROW_CX + 1, :]
@@ -97,6 +130,8 @@ def _chunk_alpha(scr, pxf, pyf, settings: RenderSettings):
     alpha = jnp.minimum(op * g, settings.alpha_max)
     in_ext = (jnp.abs(dx) <= ex) & (jnp.abs(dy) <= ey)
     keep = in_ext & (alpha >= settings.alpha_min)
+    if mask is not None:
+        keep = keep & mask
     alpha = jnp.where(keep, alpha, 0.0)
     return alpha, g, dx, dy
 
@@ -171,17 +206,16 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
     p = settings.tile_px
     k = settings.chunk
     t = pl.program_id(0)
-    start = offsets_ref[t]
-    nch = (offsets_ref[t + 1] - start) // k
+    base, uo, cnt, nch = _tile_window(offsets_ref, t, k)
     log_t_min = math.log(settings.t_threshold)
 
     pxf, pyf = _pixel_coords(t, ntx, settings)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
     def chunk_dma(c, slot):
-        base = pl.multiple_of(start + c * k, k)
+        start = pl.multiple_of(base + c * k, k)
         return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(base, k)], scr.at[slot], sem.at[slot])
+            attrs_ref.at[:, pl.ds(start, k)], scr.at[slot], sem.at[slot])
 
     @pl.when(nch > 0)
     def _():
@@ -198,7 +232,8 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
 
         chunk_dma(c, slot).wait()
 
-        alpha, _, _, _ = _chunk_alpha(scr[slot], pxf, pyf, settings)
+        alpha, _, _, _ = _chunk_alpha(scr[slot], pxf, pyf, settings,
+                                      _window_mask(base, uo, cnt, c, lane, k))
         alog = jnp.log1p(-alpha)
         alog_incl = _lane_cumsum(alog, k)
         t_excl = jnp.exp(alog_incl - alog + log_t_un)
@@ -214,7 +249,9 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
         log_t_un = log_t_un + alog_incl[:, k - 1:k]
         log_t_gated = log_t_gated + jnp.sum(alog * incl, axis=1, keepdims=True)
 
-        pos = (c * k + lane + 1).astype(jnp.float32)
+        # 1-based position within the TILE's real range (window slots
+        # before uo are foreign and already masked to alpha 0)
+        pos = (base + c * k + lane - uo + 1).astype(jnp.float32)
         contrib = (alpha > 0.0) & (incl > 0.0)
         nmax = jnp.maximum(
             nmax, jnp.max(jnp.where(contrib, pos, 0.0), axis=1, keepdims=True))
@@ -241,13 +278,15 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
 
 
 def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
-                scr, dscr, sem, dsem, *, ntx: int, settings: RenderSettings):
+                scr, dscr, rscr, sem, dsem, rsem, *, ntx: int,
+                settings: RenderSettings):
     p = settings.tile_px
     k = settings.chunk
     t = pl.program_id(0)
-    start = offsets_ref[t]
-    nch = (offsets_ref[t + 1] - start) // k
+    base, uo, cnt, nch = _tile_window(offsets_ref, t, k)
+    skip = uo - base
     log_t_min = math.log(settings.t_threshold)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
     pxf, pyf = _pixel_coords(t, ntx, settings)
 
@@ -260,18 +299,29 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
     suffix_extra = u_tot + g_t * t_final  # (P, 1)
 
     def chunk_dma(c, slot):
-        base = pl.multiple_of(start + c * k, k)
+        start = pl.multiple_of(base + c * k, k)
         return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(base, k)], scr.at[slot], sem.at[slot])
+            attrs_ref.at[:, pl.ds(start, k)], scr.at[slot], sem.at[slot])
 
     def out_dma(c, slot):
-        base = pl.multiple_of(start + c * k, k)
+        start = pl.multiple_of(base + c * k, k)
         return pltpu.make_async_copy(
-            dscr.at[slot], dout_ref.at[:, pl.ds(base, k)], dsem.at[slot])
+            dscr.at[slot], dout_ref.at[:, pl.ds(start, k)], dsem.at[slot])
+
+    # the window's first chunk may be shared with the previous tile's last
+    # chunk (skip > 0): read its current gradients and accumulate, so this
+    # tile's write cannot clobber the neighbor's slots.  The grid is
+    # sequential and every kernel drains its write DMAs before returning,
+    # so the read sees the neighbor's final values.
+    def rmw_dma():
+        start = pl.multiple_of(base, k)
+        return pltpu.make_async_copy(
+            dout_ref.at[:, pl.ds(start, k)], rscr, rsem)
 
     @pl.when(nch > 0)
     def _():
         chunk_dma(0, 0).start()
+        rmw_dma().start()
 
     def body(carry):
         c, log_t_un, cum_u = carry
@@ -288,7 +338,9 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
         def _():
             out_dma(c - 2, slot).wait()
 
-        alpha, g, dx, dy = _chunk_alpha(scr[slot], pxf, pyf, settings)
+        alpha, g, dx, dy = _chunk_alpha(scr[slot], pxf, pyf, settings,
+                                        _window_mask(base, uo, cnt, c, lane,
+                                                     k))
         alog = jnp.log1p(-alpha)
         alog_incl = _lane_cumsum(alog, k)
         t_excl = jnp.exp(alog_incl - alog + log_t_un)
@@ -344,6 +396,14 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
         dscr[slot, ROW_EX:NUM_ROWS, :] = jnp.zeros((NUM_ROWS - ROW_EX, k),
                                                    jnp.float32)
 
+        # accumulate into the shared boundary chunk (foreign slots of this
+        # tile carry exact zeros, so the add preserves the neighbor's
+        # gradients; on a fresh chunk skip == 0 selects the zeros)
+        @pl.when(c == 0)
+        def _():
+            rmw_dma().wait()
+            dscr[slot] = dscr[slot] + jnp.where(skip > 0, rscr[...], 0.0)
+
         out_dma(c, slot).start()
 
         log_t_un = log_t_un + alog_incl[:, k - 1:k]
@@ -372,16 +432,18 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
     def _():
         chunk_dma(done_c, done_c % 2).wait()
 
-    # chunks skipped by saturation early-exit still need zero gradients;
+    # chunks skipped by saturation early-exit still need zero gradients
+    # (their shared-boundary content is restored by the NEXT tile's rmw
+    # add; chunk 0 is never zero-filled — the body always processes it);
     # both scratch slots hold zeros so the fill DMAs can be double-buffered
     dscr[0] = jnp.zeros((NUM_ROWS, k), jnp.float32)
     dscr[1] = jnp.zeros((NUM_ROWS, k), jnp.float32)
 
     def zfill_dma(c):
-        base = pl.multiple_of(start + c * k, k)
+        start = pl.multiple_of(base + c * k, k)
         slot = c % 2
         return pltpu.make_async_copy(
-            dscr.at[slot], dout_ref.at[:, pl.ds(base, k)], dsem.at[slot])
+            dscr.at[slot], dout_ref.at[:, pl.ds(start, k)], dsem.at[slot])
 
     def zero_fill(c, _):
         @pl.when(c >= done_c + 2)
@@ -449,8 +511,10 @@ def _backward_impl(attrs16, tile_offsets, fwd_out, gpix, num_tiles_x,
         scratch_shapes=[
             pltpu.VMEM((2, NUM_ROWS, k), jnp.float32),
             pltpu.VMEM((2, NUM_ROWS, k), jnp.float32),
+            pltpu.VMEM((NUM_ROWS, k), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     kernel = functools.partial(_bwd_kernel, ntx=num_tiles_x,
@@ -467,8 +531,11 @@ def _backward_impl(attrs16, tile_offsets, fwd_out, gpix, num_tiles_x,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def rasterize_tiles(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
                     settings: RenderSettings):
-    """attrs16: (16, E + chunk) packed per-entry splat attributes in sorted
-    tile/depth order; tile_offsets: (T+1,) i32 entry ranges.
+    """attrs16: (16, E) packed per-entry splat attributes in sorted
+    tile/depth order; tile_offsets: (T+1,) i32 entry ranges — UNALIGNED
+    cumulative counts are fine (the kernels read chunk-aligned superset
+    windows and mask foreign slots); chunk-aligned layouts with zeroed
+    padding rows (the sharded exchange paths) work identically.
 
     Returns (T, P, 8) per-tile pixel channels
     [r, g, b, acc_alpha, T_final, n_contrib, 0, 0] *without* background.
@@ -534,30 +601,27 @@ def segment_reduce_entries(e_cap, rows, entry_valid, entry_source,
 
     Entries in expansion order are grouped by Gaussian (jnp.repeat emits
     them in index order), so per-Gaussian sums are differences of an
-    inclusive prefix sum at segment boundaries.  ``rows`` (A, C) arrive in
+    inclusive prefix sum at segment boundaries.  ``rows`` (E, C) arrive in
     tile-sorted slot order; ``entry_source`` maps each slot back to its
-    expansion index (real entries carry sources in [0, e_cap)), so its
-    unique-index inverse permutes them into expansion order.  f32
-    prefix-difference error is ~eps*sqrt(E/s) relative for a segment of
-    size s — ~2e-4 worst case, immaterial for SGD.
+    expansion index, so its inverse permutes them into expansion order.
+    f32 prefix-difference error is ~eps*sqrt(E/s) relative for a segment
+    of size s — ~2e-4 worst case, immaterial for SGD.
 
     Returns (N, C) per-Gaussian sums (N = gauss_counts.shape[0]).
     """
     a_cap = entry_source.shape[0]
-    c = rows.shape[1]
-    rows = jnp.where(entry_valid[:, None], rows, 0.0)  # (A, C)
+    rows = jnp.where(entry_valid[:, None], rows, 0.0)  # (E, C)
 
-    # inverse permutation: expansion index -> slot.  Valid slots carry
-    # unique sources in [0, e_cap); invalid slots are redirected out of
-    # bounds and dropped.  Expansion indices with no valid slot keep the
-    # sentinel a_cap, which gathers the zero row below.
+    # inverse permutation: expansion index -> slot, by sorting the source
+    # payload back to identity (an XLA scatter of 786k i32 rows measured
+    # 5.6 ms on a v5e chip; this sort is 2.7 ms).  In the sorted layout
+    # ``entry_source`` is a TRUE permutation of [0, e_cap) and valid slots
+    # are exactly those with source < total in both orders, so no
+    # sentinel redirection is needed: invalid slots gather already-zeroed
+    # rows.
     slot_ids = jnp.arange(a_cap, dtype=jnp.int32)
-    src = jnp.where(entry_valid, entry_source, e_cap)
-    inv = jnp.full((e_cap,), a_cap, jnp.int32)
-    inv = inv.at[src].set(slot_ids, mode="drop", unique_indices=True)
-
-    rows_pad = jnp.concatenate([rows, jnp.zeros((1, c), jnp.float32)])
-    d_exp = rows_pad[inv]  # (E, C) in expansion (gaussian-grouped) order
+    _, inv = jax.lax.sort((entry_source, slot_ids), num_keys=1)
+    d_exp = rows[inv[:e_cap]]  # (E, C) in expansion (gaussian-grouped) order
 
     cum = jnp.cumsum(d_exp, axis=0)
     cum_counts = jnp.cumsum(gauss_counts)

@@ -46,11 +46,10 @@ def render_from_attrs(attrs: SplatAttrs, aux: SplatAux, img_w: int,
     bins = binning_ops.bin_splats(
         aux, img_w, img_h, settings, capacity=entry_capacity,
         with_source=None if for_grad else False)
-    e_cap = bins.capacity - ntx * nty * settings.chunk
     attrs16 = raster_ops.pack_entry_attrs(
         attrs, bins.entry_gauss, bins.entry_valid, settings,
         entry_source=bins.entry_source, gauss_counts=bins.gauss_counts,
-        expansion_capacity=e_cap)
+        expansion_capacity=bins.capacity)
     out = raster_ops.rasterize_tiles(attrs16, bins.tile_offsets,
                                      ntx, nty, settings)
     return out, bins
