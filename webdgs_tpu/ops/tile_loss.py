@@ -8,17 +8,17 @@ whose 3-5-lane minor dims tile-pad to 128 lanes, plus TWO image-space SSIM
 window passes (one for the gradient, one for the metrics).  This kernel
 keeps everything in tile space:
 
-* the kernel works on a CHANNEL-PLANAR view (T, NUM_OUT, th, tw) of the
-  rasterizer's (T, P, NUM_OUT) buffer (one cheap XLA transpose in, one
-  out).  Planar blocks mean every channel read/write inside the kernel is
-  a leading-dim index yielding a clean (rows, tw) 2D vector — no
+* the kernel works on a ROW-PLANAR view (rows, NUM_OUT, th, ntx*tw) of
+  the rasterizer's (T, P, NUM_OUT) buffer (one cheap XLA transpose in,
+  one out).  Planar blocks mean every channel read/write inside the
+  kernel is a leading-dim index yielding a clean (th, W) 2D vector — no
   in-register merges or splits of the pixel grid, which Mosaic's layout
-  inference rejects on hardware (vector<16x16> -> vector<256x1> shape
-  casts were the round-3 on-chip compile blocker);
-* each grid step owns one tile and sees its 3x3 tile neighborhood through
-  nine auto-pipelined BlockSpec inputs (full left/center/right tiles of
-  its row band plus 2-pixel row slices of the bands above and below) —
-  the 2-pixel halo a 5x5 window needs;
+  inference rejects on hardware;
+* each grid step owns one full TILE ROW (a (th, ntx*tw) pixel band): a
+  per-tile grid paid ~2.6 us of sequential grid-step overhead x 1900
+  tiles = 5 ms at 800x600 on a v5e chip, vs 38 row steps here.  The
+  vertical 2-pixel halo a 5x5 window needs comes from two neighbor-row
+  edge slices (auto-pipelined BlockSpec inputs);
 * the ground truth rides the SAME nine-block neighborhood: the target is
   re-tiled once per call into the planar tile layout (one cheap XLA
   transpose of a 3-channel image) and enters through auto-pipelined
@@ -102,80 +102,61 @@ def _box(x: jax.Array, th: int, tw: int):
     return s
 
 
-def _loss_kernel(rb_ref, cl_ref, cc_ref, cr_ref, ul_ref, uc_ref, ur_ref,
-                 dl_ref, dc_ref, dr_ref,
-                 tcl_ref, tcc_ref, tcr_ref, tul_ref, tuc_ref, tur_ref,
-                 tdl_ref, tdc_ref, tdr_ref, dpix_ref, sums_ref,
+def _loss_kernel(rb_ref, c_ref, u_ref, d_ref, tc_ref, tu_ref, td_ref,
+                 dpix_ref, sums_ref,
                  *, ntx: int, nty: int, img_w: int, img_h: int,
                  cfg: LossConfig, settings: RenderSettings):
     th, tw = settings.tile_h, settings.tile_w
-    hh, hw = th + 2 * HALF, tw + 2 * HALF
-    t = pl.program_id(0)
-    tx = t % ntx
+    wp = ntx * tw  # full row width incl. tile-grid padding
+    hh = th + 2 * HALF
+    r = pl.program_id(0)
     # rb_ref: global tile-row base of this buffer (0 for a full frame; the
     # band's first tile row in the band-sharded path, a traced per-device
-    # scalar) — only the kernel body needs globals (clamps, valid mask,
-    # target window); the block index maps stay local to the buffer
-    ty = rb_ref[0] + t // ntx
-    x0 = tx * tw
-    y0 = ty * th
+    # scalar) — only the kernel body needs globals (clamps, valid mask)
+    y0 = (rb_ref[0] + r) * th
     bg = settings.background
 
-    # ---- assemble the (hh, tw*3) channel planes of the tile row band ----
-    def band(l_ref, c_ref, r_ref, u3, d3, c):
-        # planar refs: channel read = leading-dim index -> (rows, tw)
-        mid = jnp.concatenate(
-            [l_ref[0, c], c_ref[0, c], r_ref[0, c]], axis=1)
-        top = jnp.concatenate([u3[0][0, c], u3[1][0, c], u3[2][0, c]],
-                              axis=1)
-        bot = jnp.concatenate([d3[0][0, c], d3[1][0, c], d3[2][0, c]],
-                              axis=1)
-        return jnp.concatenate([top, mid, bot], axis=0)  # (hh, 3*tw)
+    # ---- (hh, wp) channel planes of the pixel-row band ----
+    def plane(cref, uref, dref, c):
+        return jnp.concatenate([uref[0, c], cref[0, c], dref[0, c]], axis=0)
 
-    def plane(c):
-        return band(cl_ref, cc_ref, cr_ref, (ul_ref, uc_ref, ur_ref),
-                    (dl_ref, dc_ref, dr_ref), c)
-
-    def tplane(c):
-        return band(tcl_ref, tcc_ref, tcr_ref, (tul_ref, tuc_ref, tur_ref),
-                    (tdl_ref, tdc_ref, tdr_ref), c)
-
-    ts = jnp.clip(tx - 1, 0, ntx - 3)  # leftmost tile of the band
-    t_plane = plane(OUT_T)
-    # composited pred planes over the band (tiled-rasterizer.wgsl:250-252)
-    pred48 = [plane(c) + bg[c] * t_plane for c in range(3)]
+    t_plane = plane(c_ref, u_ref, d_ref, OUT_T)
+    # composited pred planes (tiled-rasterizer.wgsl:250-252)
+    pred_row = [plane(c_ref, u_ref, d_ref, c) + bg[c] * t_plane
+                for c in range(3)]
+    targ_row = [plane(tc_ref, tu_ref, td_ref, c) for c in range(3)]
 
     # ---- clamp/select matrices (the reference's clamped textureLoad) ----
-    # band columns hold global x = ts*tw .. ts*tw + 3*tw; halo column i
-    # wants clamp(x0 - HALF + i, 0, img_w - 1)
-    iw = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
-    gx = jnp.clip(x0 - HALF + iw, 0, img_w - 1)  # (hw, 1)
-    s_col = _onehot_select(gx - ts * tw, 3 * tw)  # (hw, 3*tw)
+    # halo column i wants clamp(i - HALF, 0, img_w - 1): one matrix serves
+    # the frame's left/right edges AND the tile-grid padding columns
+    iw = jax.lax.broadcasted_iota(jnp.int32, (wp + 2 * HALF, 1), 0)
+    gx = jnp.clip(iw - HALF, 0, img_w - 1)  # (wp+4, 1)
+    s_col = _onehot_select(gx, wp)  # (wp+4, wp)
     ih = jax.lax.broadcasted_iota(jnp.int32, (hh, 1), 0)
     gy = jnp.clip(y0 - HALF + ih, 0, img_h - 1)  # (hh, 1)
     s_row = _onehot_select(gy - (y0 - HALF), hh)  # (hh, hh)
 
-    # (hh, hw) clamped pred/target halos per channel — the target band is
+    # (hh, wp+4) clamped pred/target halos per channel — the target band is
     # pre-tiled into the same layout, so the SAME clamped selects apply
-    pred = [_sel_rows(s_row, _sel_cols(p, s_col)) for p in pred48]
-    targ = [_sel_rows(s_row, _sel_cols(tplane(c), s_col)) for c in range(3)]
+    pred = [_sel_rows(s_row, _sel_cols(p, s_col)) for p in pred_row]
+    targ = [_sel_rows(s_row, _sel_cols(q, s_col)) for q in targ_row]
 
     # ---- 5x5 window means + SSIM (loss.wgsl:20-72) ----
     inv = 1.0 / (WIN * WIN)
-    own = (slice(HALF, HALF + th), slice(HALF, HALF + tw))
-    vx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + x0 < img_w
-    vy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + y0 < img_h
+    own = (slice(HALF, HALF + th), slice(HALF, HALF + wp))
+    vx = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1) < img_w
+    vy = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0) + y0 < img_h
     valid = (vx & vy).astype(jnp.float32)
 
     grad = []
     s_abs = s_sq = s_ds = 0.0
     for c in range(3):
         p, q = pred[c], targ[c]
-        mu_x = _box(p, th, tw) * inv
-        mu_y = _box(q, th, tw) * inv
-        sigma_x2 = _box(p * p, th, tw) * inv - mu_x * mu_x
-        sigma_y2 = _box(q * q, th, tw) * inv - mu_y * mu_y
-        sigma_xy = _box(p * q, th, tw) * inv - mu_x * mu_y
+        mu_x = _box(p, th, wp) * inv
+        mu_y = _box(q, th, wp) * inv
+        sigma_x2 = _box(p * p, th, wp) * inv - mu_x * mu_x
+        sigma_y2 = _box(q * q, th, wp) * inv - mu_y * mu_y
+        sigma_xy = _box(p * q, th, wp) * inv - mu_x * mu_y
         num = (2 * mu_x * mu_y + cfg.c1) * (2 * sigma_xy + cfg.c2)
         den = ((mu_x * mu_x + mu_y * mu_y + cfg.c1)
                * (sigma_x2 + sigma_y2 + cfg.c2))
@@ -189,8 +170,8 @@ def _loss_kernel(rb_ref, cl_ref, cc_ref, cr_ref, ul_ref, uc_ref, ur_ref,
         s_sq = s_sq + jnp.sum(diff * diff * valid)
         s_ds = s_ds + jnp.sum(dssim * valid)
 
-    # ---- pixel cotangent, planar channel layout: (th, tw) stores only ----
-    zeros = jnp.zeros((th, tw), jnp.float32)
+    # ---- pixel cotangent, row-planar channel layout ----
+    zeros = jnp.zeros((th, wp), jnp.float32)
     for c in range(3):
         dpix_ref[0, c] = grad[c]
     d_t = bg[0] * grad[0] + bg[1] * grad[1] + bg[2] * grad[2]
@@ -210,16 +191,24 @@ def _loss_kernel(rb_ref, cl_ref, cc_ref, cr_ref, ul_ref, uc_ref, ur_ref,
          z11, z11, z11, z11], axis=1)
 
 
-def _planar_tiles(out: jax.Array, settings: RenderSettings) -> jax.Array:
-    """(T, P, NUM_OUT) tile buffer -> channel-planar (T, NUM_OUT, th, tw)."""
+def _rowplanar_tiles(out: jax.Array, ntx: int,
+                     settings: RenderSettings) -> jax.Array:
+    """(T, P, C) tile buffer -> row-planar (rows, C, th, ntx*tw): one
+    full-width pixel band per tile row, channel-planar."""
     th, tw = settings.tile_h, settings.tile_w
-    return out.reshape(out.shape[0], th, tw, NUM_OUT).transpose(0, 3, 1, 2)
+    c = out.shape[-1]
+    rows = out.shape[0] // ntx
+    t5 = out.reshape(rows, ntx, th, tw, c)
+    return t5.transpose(0, 4, 2, 1, 3).reshape(rows, c, th, ntx * tw)
 
 
-def _unplanar_tiles(dpixp: jax.Array, settings: RenderSettings) -> jax.Array:
-    """Channel-planar (T, NUM_OUT, th, tw) -> (T, P, NUM_OUT)."""
-    n = dpixp.shape[0]
-    return dpixp.transpose(0, 2, 3, 1).reshape(n, settings.tile_px, NUM_OUT)
+def _unrowplanar_tiles(dpixp: jax.Array, ntx: int,
+                       settings: RenderSettings) -> jax.Array:
+    """Row-planar (rows, C, th, ntx*tw) -> (T, P, C)."""
+    th, tw = settings.tile_h, settings.tile_w
+    rows, c = dpixp.shape[0], dpixp.shape[1]
+    t5 = dpixp.reshape(rows, c, th, ntx, tw)
+    return t5.transpose(0, 3, 2, 4, 1).reshape(rows * ntx, th * tw, c)
 
 
 def tile_loss_gradient(out: jax.Array, target: jax.Array, img_w: int,
@@ -297,15 +286,15 @@ def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
     Rows of padding bands beyond the frame produce zero gradient and zero
     metric sums (their valid mask is empty).
 
-    Returns (dpix (rows*ntx, P, NUM_OUT), sums (rows*ntx, 8) per-tile
+    Returns (dpix (rows*ntx, P, NUM_OUT), sums (rows, 8) per-tile-row
     metric partials — psum ``sums.sum(0)`` over the band axis and feed
     :func:`metrics_from_sums`).
     """
     th, tw = settings.tile_h, settings.tile_w
-    band_tiles = rows * ntx
-    outp = _planar_tiles(out, settings)
+    wp = ntx * tw
+    outp = _rowplanar_tiles(out, ntx, settings)  # (rows, 8, th, wp)
 
-    # ---- target -> planar tile layout (3-channel analogue of outp) ----
+    # ---- target -> row-planar layout (3-channel analogue of outp) ----
     # One cheap XLA re-tile per call; every kernel-side target access then
     # rides tile-aligned BlockSpecs (Mosaic rejects the unaligned window
     # DMA this replaces).  Pad is zeros: the kernel's clamped selects never
@@ -313,78 +302,55 @@ def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
     glob_ty = -(-img_h // th)
     targp = target.transpose(2, 0, 1)  # (3, H, W)
     targp = jnp.pad(targp, ((0, 0), (0, glob_ty * th - img_h),
-                            (0, ntx * tw - img_w)))
-    tt = targp.reshape(3, glob_ty, th, ntx, tw).transpose(
-        1, 3, 0, 2, 4).reshape(glob_ty * ntx, 3, th, tw)
-    if band_tiles > tt.shape[0]:  # padding bands past the frame
-        tt = jnp.pad(tt, ((0, band_tiles - tt.shape[0]), (0, 0), (0, 0),
-                          (0, 0)))
+                            (0, wp - img_w)))
+    tt = targp.reshape(3, glob_ty, th, wp).transpose(1, 0, 2, 3)
+    if rows > tt.shape[0]:  # padding bands past the frame
+        tt = jnp.pad(tt, ((0, rows - tt.shape[0]), (0, 0), (0, 0), (0, 0)))
     rb = row_base.reshape(()).astype(jnp.int32)
-    band_t = jax.lax.dynamic_slice_in_dim(tt, rb * ntx, band_tiles, 0)
+    band_t = jax.lax.dynamic_slice_in_dim(tt, rb, rows, 0)
     # neighbor-row boundary slices (replicated target: no exchange needed;
     # out-of-frame starts clamp to in-frame rows whose content the kernel's
     # border-clamped selects never read)
-    above_row = jax.lax.dynamic_slice_in_dim(
-        tt, (rb - 1) * ntx, ntx, 0)[:, :, -HALF:, :]
-    below_row = jax.lax.dynamic_slice_in_dim(
-        tt, (rb + rows) * ntx, ntx, 0)[:, :, :HALF, :]
-    above_t = jnp.concatenate([above_row, band_t[:-ntx, :, -HALF:, :]],
-                              axis=0)
-    below_t = jnp.concatenate([band_t[ntx:, :, :HALF, :], below_row],
-                              axis=0)
+    above_rt = jax.lax.dynamic_slice_in_dim(tt, rb - 1, 1, 0)[:, :, -HALF:]
+    below_rt = jax.lax.dynamic_slice_in_dim(tt, rb + rows, 1, 0)[:, :, :HALF]
+    above_t = jnp.concatenate([above_rt, band_t[:-1, :, -HALF:, :]], axis=0)
+    below_t = jnp.concatenate([band_t[1:, :, :HALF, :], below_rt], axis=0)
 
-    def halo_planar(h):
-        # (ntx, HALF*tw, NUM_OUT) -> (ntx, NUM_OUT, HALF, tw)
-        return h.reshape(ntx, HALF, tw, NUM_OUT).transpose(0, 3, 1, 2)
+    def halo_rowplanar(h):
+        # (ntx, HALF*tw, NUM_OUT) -> (1, NUM_OUT, HALF, wp)
+        h4 = h.reshape(ntx, HALF, tw, NUM_OUT)
+        return h4.transpose(3, 1, 0, 2).reshape(1, NUM_OUT, HALF, wp)
 
-    # per-tile vertical-neighbor blocks: above[t] = bottom slice of the
-    # tile directly above tile t, below[t] = top slice of the tile below
-    # (O(band * HALF/th) bytes — the old full-band ext concatenation
-    # copied the whole tile buffer once per step)
+    # per-row vertical-neighbor slices: above[r] = bottom 2 px of the tile
+    # row above, below[r] = top 2 px of the row below
     above = jnp.concatenate(
-        [halo_planar(halo_top), outp[:-ntx, :, -HALF:, :]], axis=0)
+        [halo_rowplanar(halo_top), outp[:-1, :, -HALF:, :]], axis=0)
     below = jnp.concatenate(
-        [outp[ntx:, :, :HALF, :], halo_planar(halo_bot)], axis=0)
+        [outp[1:, :, :HALF, :], halo_rowplanar(halo_bot)], axis=0)
 
-    def row(b):
-        def f(t):
-            tx = t % ntx
-            return t - tx + jnp.clip(tx - 1, 0, ntx - 3) + b
-        return f
-
-    blk = lambda ch, h, f: pl.BlockSpec((1, ch, h, tw),
-                                        lambda t, _f=f: (_f(t), 0, 0, 0))
+    blk = lambda ch, h: pl.BlockSpec((1, ch, h, wp),
+                                     lambda r: (r, 0, 0, 0))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
-        blk(NUM_OUT, th, row(0)), blk(NUM_OUT, th, row(1)),
-        blk(NUM_OUT, th, row(2)),
-        blk(NUM_OUT, HALF, row(0)), blk(NUM_OUT, HALF, row(1)),
-        blk(NUM_OUT, HALF, row(2)),
-        blk(NUM_OUT, HALF, row(0)), blk(NUM_OUT, HALF, row(1)),
-        blk(NUM_OUT, HALF, row(2)),
-        blk(3, th, row(0)), blk(3, th, row(1)), blk(3, th, row(2)),
-        blk(3, HALF, row(0)), blk(3, HALF, row(1)), blk(3, HALF, row(2)),
-        blk(3, HALF, row(0)), blk(3, HALF, row(1)), blk(3, HALF, row(2)),
+        blk(NUM_OUT, th), blk(NUM_OUT, HALF), blk(NUM_OUT, HALF),
+        blk(3, th), blk(3, HALF), blk(3, HALF),
     ]
     out_specs = [
-        pl.BlockSpec((1, NUM_OUT, th, tw), lambda t: (t, 0, 0, 0)),
-        pl.BlockSpec((1, 1, 8), lambda t: (t, 0, 0)),
+        pl.BlockSpec((1, NUM_OUT, th, wp), lambda r: (r, 0, 0, 0)),
+        pl.BlockSpec((1, 1, 8), lambda r: (r, 0, 0)),
     ]
     kernel = functools.partial(
         _loss_kernel, ntx=ntx, nty=rows, img_w=img_w, img_h=img_h,
         cfg=cfg, settings=settings)
     dpixp, sums = pl.pallas_call(
         kernel,
-        grid=(band_tiles,),
+        grid=(rows,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((band_tiles, NUM_OUT, th, tw), jnp.float32),
-            jax.ShapeDtypeStruct((band_tiles, 1, 8), jnp.float32),
+            jax.ShapeDtypeStruct((rows, NUM_OUT, th, wp), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1, 8), jnp.float32),
         ],
         interpret=use_interpret_mode(),
-    )(rb.reshape(1), outp, outp, outp,
-      above, above, above, below, below, below,
-      band_t, band_t, band_t, above_t, above_t, above_t,
-      below_t, below_t, below_t)
-    return _unplanar_tiles(dpixp, settings), sums[:, 0, :]
+    )(rb.reshape(1), outp, above, below, band_t, above_t, below_t)
+    return _unrowplanar_tiles(dpixp, ntx, settings), sums[:, 0, :]
