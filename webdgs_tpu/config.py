@@ -51,6 +51,13 @@ class RenderSettings:
     background: tuple[float, float, float] = (0.0, 0.0, 0.0)
     # Splats per chunk processed by the rasterizer kernel (MXU K dimension).
     chunk: int = 256
+    # Tiles processed per Pallas grid step in the rasterizer/importance
+    # kernels (the tile grid is padded to a multiple; padding tiles have
+    # empty ranges).  Measured on a v5e chip at 800x600/100k: g=8 is
+    # SLOWER than g=1 (31.0 vs 29.0 ms full step) — grid-step overhead is
+    # negligible for these kernels (their DMA pipelines hide it), and
+    # grouping delays the output block's write-out.  Kept as a sweep knob.
+    tiles_per_step: int = 1
     # Early-termination transmittance threshold. The reference skips a splat
     # once accumulated alpha exceeds 0.99 (tiled-rasterizer.wgsl:224), i.e.
     # T < 0.01.

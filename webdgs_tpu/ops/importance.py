@@ -56,14 +56,39 @@ def _metric_kernel(offsets_ref, attrs_ref, pix_ref, out_ref, scr, cnt_scr,
     flagged pixel skips its replay entirely (metric-count.wgsl:33-36 early
     return)."""
     k = settings.chunk
-    t = pl.program_id(0)
-    base, uo, cnt, nch = raster_ops._tile_window(offsets_ref, t, k)
-    skip = uo - base
-
-    pxf, pyf = _pixel_coords(t, ntx, settings)
+    gstep = settings.tiles_per_step
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-    flagged = pix_ref[0, :, 0:1]  # (P, 1)
-    n_contrib = pix_ref[0, :, 1:2]
+    _metric_tile(pix_ref, offsets_ref, attrs_ref, out_ref, scr, cnt_scr,
+                 rscr, sem, osem, rsem, lane, ntx=ntx, settings=settings,
+                 gstep=gstep)
+
+
+def _metric_tile(pix_ref, offsets_ref, attrs_ref, out_ref, scr, cnt_scr,
+                 rscr, sem, osem, rsem, lane, *, ntx, settings, gstep):
+    k = settings.chunk
+
+    pid = pl.program_id(0)
+
+    def tile_body(i, _):
+        t = pid * gstep + i
+        base, uo, cnt, nch = raster_ops._tile_window(offsets_ref, t, k)
+        skip = uo - base
+
+        pxf, pyf = _pixel_coords(t, ntx, settings)
+        flagged = pix_ref[i, :, 0:1]  # (P, 1)
+        n_contrib = pix_ref[i, :, 1:2]
+        _metric_replay(base, uo, cnt, nch, skip, pxf, pyf, flagged,
+                       n_contrib, attrs_ref, out_ref, scr, cnt_scr, rscr,
+                       sem, osem, rsem, lane, settings)
+        return 0
+
+    jax.lax.fori_loop(0, gstep, tile_body, 0)
+
+
+def _metric_replay(base, uo, cnt, nch, skip, pxf, pyf, flagged, n_contrib,
+                   attrs_ref, out_ref, scr, cnt_scr, rscr, sem, osem, rsem,
+                   lane, settings):
+    k = settings.chunk
 
     # chunks at positions beyond every flagged pixel's last contributor
     # produce all-zero counts; skip them (zero-filled below).  Chunk 0 is
@@ -163,14 +188,19 @@ def _entry_counts(attrs16, tile_offsets, pix_tiles, num_tiles_x, num_tiles_y,
                   settings: RenderSettings) -> jax.Array:
     p = settings.tile_px
     k = settings.chunk
+    g = settings.tiles_per_step
     n_tiles = num_tiles_x * num_tiles_y
     e_pad = attrs16.shape[1]
+    tile_offsets, n_pad = raster_ops._pad_tiles(tile_offsets, n_tiles, g)
+    if n_pad != n_tiles:
+        pix_tiles = jnp.pad(pix_tiles, ((0, n_pad - n_tiles), (0, 0),
+                                        (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_pad // g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((1, p, 2), lambda i, offs: (i, 0, 0),
+            pl.BlockSpec((g, p, 2), lambda i, offs: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),

@@ -205,76 +205,91 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
                 ntx: int, settings: RenderSettings):
     p = settings.tile_px
     k = settings.chunk
-    t = pl.program_id(0)
-    base, uo, cnt, nch = _tile_window(offsets_ref, t, k)
+    g = settings.tiles_per_step
     log_t_min = math.log(settings.t_threshold)
-
-    pxf, pyf = _pixel_coords(t, ntx, settings)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
-    def chunk_dma(c, slot):
-        start = pl.multiple_of(base + c * k, k)
-        return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(start, k)], scr.at[slot], sem.at[slot])
+    # one grid step owns `g` tiles: sequential grid-step overhead on a
+    # v5e chip is ~2 us, i.e. ~4 ms at 1900 tiles — the per-tile loop
+    # amortizes it g-fold (the kernels were dispatch-bound, not
+    # compute-bound, at 16x16 tiles)
+    pid = pl.program_id(0)
 
-    @pl.when(nch > 0)
-    def _():
-        chunk_dma(0, 0).start()
+    def tile_body(i, _):
+        t = pid * g + i
+        base, uo, cnt, nch = _tile_window(offsets_ref, t, k)
+        pxf, pyf = _pixel_coords(t, ntx, settings)
 
-    def body(carry):
-        c, log_t_un, log_t_gated, acc, nmax = carry
-        slot = c % 2
+        def chunk_dma(c, slot):
+            start = pl.multiple_of(base + c * k, k)
+            return pltpu.make_async_copy(
+                attrs_ref.at[:, pl.ds(start, k)], scr.at[slot], sem.at[slot])
 
-        # prefetch the next chunk while this one is processed
-        @pl.when(c + 1 < nch)
+        @pl.when(nch > 0)
         def _():
-            chunk_dma(c + 1, (c + 1) % 2).start()
+            chunk_dma(0, 0).start()
 
-        chunk_dma(c, slot).wait()
+        def body(carry):
+            c, log_t_un, log_t_gated, acc, nmax = carry
+            slot = c % 2
 
-        alpha, _, _, _ = _chunk_alpha(scr[slot], pxf, pyf, settings,
-                                      _window_mask(base, uo, cnt, c, lane, k))
-        alog = jnp.log1p(-alpha)
-        alog_incl = _lane_cumsum(alog, k)
-        t_excl = jnp.exp(alog_incl - alog + log_t_un)
-        incl = (t_excl >= settings.t_threshold).astype(jnp.float32)
-        w = alpha * t_excl * incl  # (P, K)
+            # prefetch the next chunk while this one is processed
+            @pl.when(c + 1 < nch)
+            def _():
+                chunk_dma(c + 1, (c + 1) % 2).start()
 
-        c4 = jnp.concatenate(
-            [scr[slot, ROW_R:ROW_B + 1, :], jnp.ones((1, k), jnp.float32)],
-            axis=0)
-        acc = acc + _dot_general_tiered(
-            w, c4, (((1,), (1,)), ((), ())), settings)  # (P, 4)
+            chunk_dma(c, slot).wait()
 
-        log_t_un = log_t_un + alog_incl[:, k - 1:k]
-        log_t_gated = log_t_gated + jnp.sum(alog * incl, axis=1, keepdims=True)
+            alpha, _, _, _ = _chunk_alpha(
+                scr[slot], pxf, pyf, settings,
+                _window_mask(base, uo, cnt, c, lane, k))
+            alog = jnp.log1p(-alpha)
+            alog_incl = _lane_cumsum(alog, k)
+            t_excl = jnp.exp(alog_incl - alog + log_t_un)
+            incl = (t_excl >= settings.t_threshold).astype(jnp.float32)
+            w = alpha * t_excl * incl  # (P, K)
 
-        # 1-based position within the TILE's real range (window slots
-        # before uo are foreign and already masked to alpha 0)
-        pos = (base + c * k + lane - uo + 1).astype(jnp.float32)
-        contrib = (alpha > 0.0) & (incl > 0.0)
-        nmax = jnp.maximum(
-            nmax, jnp.max(jnp.where(contrib, pos, 0.0), axis=1, keepdims=True))
-        return c + 1, log_t_un, log_t_gated, acc, nmax
+            c4 = jnp.concatenate(
+                [scr[slot, ROW_R:ROW_B + 1, :],
+                 jnp.ones((1, k), jnp.float32)], axis=0)
+            acc = acc + _dot_general_tiered(
+                w, c4, (((1,), (1,)), ((), ())), settings)  # (P, 4)
 
-    def cond(carry):
-        c, log_t_un, *_ = carry
-        return (c < nch) & (jnp.max(log_t_un) >= log_t_min)
+            log_t_un = log_t_un + alog_incl[:, k - 1:k]
+            log_t_gated = log_t_gated + jnp.sum(alog * incl, axis=1,
+                                                keepdims=True)
 
-    zero_p1 = jnp.zeros((p, 1), jnp.float32)
-    init = (jnp.int32(0), zero_p1, zero_p1, jnp.zeros((p, 4), jnp.float32),
-            zero_p1)
-    done_c, _, log_t_gated, acc, nmax = jax.lax.while_loop(cond, body, init)
+            # 1-based position within the TILE's real range (window slots
+            # before uo are foreign and already masked to alpha 0)
+            pos = (base + c * k + lane - uo + 1).astype(jnp.float32)
+            contrib = (alpha > 0.0) & (incl > 0.0)
+            nmax = jnp.maximum(
+                nmax, jnp.max(jnp.where(contrib, pos, 0.0), axis=1,
+                              keepdims=True))
+            return c + 1, log_t_un, log_t_gated, acc, nmax
 
-    # a saturation early-exit may leave one prefetched DMA in flight
-    @pl.when(done_c < nch)
-    def _():
-        chunk_dma(done_c, done_c % 2).wait()
+        def cond(carry):
+            c, log_t_un, *_ = carry
+            return (c < nch) & (jnp.max(log_t_un) >= log_t_min)
 
-    out_ref[0, :, 0:4] = acc
-    out_ref[0, :, OUT_T:OUT_T + 1] = jnp.exp(log_t_gated)
-    out_ref[0, :, OUT_NCONTRIB:OUT_NCONTRIB + 1] = nmax
-    out_ref[0, :, 6:8] = jnp.zeros((p, 2), jnp.float32)
+        zero_p1 = jnp.zeros((p, 1), jnp.float32)
+        init = (jnp.int32(0), zero_p1, zero_p1,
+                jnp.zeros((p, 4), jnp.float32), zero_p1)
+        done_c, _, log_t_gated, acc, nmax = jax.lax.while_loop(cond, body,
+                                                               init)
+
+        # a saturation early-exit may leave one prefetched DMA in flight
+        @pl.when(done_c < nch)
+        def _():
+            chunk_dma(done_c, done_c % 2).wait()
+
+        out_ref[i, :, 0:4] = acc
+        out_ref[i, :, OUT_T:OUT_T + 1] = jnp.exp(log_t_gated)
+        out_ref[i, :, OUT_NCONTRIB:OUT_NCONTRIB + 1] = nmax
+        out_ref[i, :, 6:8] = jnp.zeros((p, 2), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, g, tile_body, 0)
 
 
 def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
@@ -282,199 +297,220 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
                 settings: RenderSettings):
     p = settings.tile_px
     k = settings.chunk
-    t = pl.program_id(0)
-    base, uo, cnt, nch = _tile_window(offsets_ref, t, k)
-    skip = uo - base
+    gstep = settings.tiles_per_step
     log_t_min = math.log(settings.t_threshold)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
-    pxf, pyf = _pixel_coords(t, ntx, settings)
+    # one grid step owns `gstep` tiles (see _fwd_kernel): the backward was
+    # equally dispatch-bound at 16x16 tiles
+    pid = pl.program_id(0)
 
-    g4 = gpix_ref[0, :, 0:4]  # cotangents for (r, g, b, acc_alpha), (P, 4)
-    g_t = gpix_ref[0, :, OUT_T:OUT_T + 1]  # (P, 1)
-    t_final = fwd_out_ref[0, :, OUT_T:OUT_T + 1]
-    # U_tot = sum_k gamma4_k w_k over the whole tile = <g4, acc_outputs>.
-    u_tot = jnp.sum(g4 * fwd_out_ref[0, :, 0:4], axis=1, keepdims=True)
-    # the dT_final/da_j = -T_final/(1-a_j) term folds into the suffix
-    suffix_extra = u_tot + g_t * t_final  # (P, 1)
+    def tile_body(i, _):
+        t = pid * gstep + i
+        base, uo, cnt, nch = _tile_window(offsets_ref, t, k)
+        skip = uo - base
+        pxf, pyf = _pixel_coords(t, ntx, settings)
 
-    def chunk_dma(c, slot):
-        start = pl.multiple_of(base + c * k, k)
-        return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(start, k)], scr.at[slot], sem.at[slot])
+        g4 = gpix_ref[i, :, 0:4]  # cotangents for (r, g, b, acc_alpha), (P, 4)
+        g_t = gpix_ref[i, :, OUT_T:OUT_T + 1]  # (P, 1)
+        t_final = fwd_out_ref[i, :, OUT_T:OUT_T + 1]
+        # U_tot = sum_k gamma4_k w_k over the whole tile = <g4, acc_outputs>.
+        u_tot = jnp.sum(g4 * fwd_out_ref[i, :, 0:4], axis=1, keepdims=True)
+        # the dT_final/da_j = -T_final/(1-a_j) term folds into the suffix
+        suffix_extra = u_tot + g_t * t_final  # (P, 1)
 
-    def out_dma(c, slot):
-        start = pl.multiple_of(base + c * k, k)
-        return pltpu.make_async_copy(
-            dscr.at[slot], dout_ref.at[:, pl.ds(start, k)], dsem.at[slot])
+        def chunk_dma(c, slot):
+            start = pl.multiple_of(base + c * k, k)
+            return pltpu.make_async_copy(
+                attrs_ref.at[:, pl.ds(start, k)], scr.at[slot], sem.at[slot])
 
-    # the window's first chunk may be shared with the previous tile's last
-    # chunk (skip > 0): read its current gradients and accumulate, so this
-    # tile's write cannot clobber the neighbor's slots.  The grid is
-    # sequential and every kernel drains its write DMAs before returning,
-    # so the read sees the neighbor's final values.
-    def rmw_dma():
-        start = pl.multiple_of(base, k)
-        return pltpu.make_async_copy(
-            dout_ref.at[:, pl.ds(start, k)], rscr, rsem)
+        def out_dma(c, slot):
+            start = pl.multiple_of(base + c * k, k)
+            return pltpu.make_async_copy(
+                dscr.at[slot], dout_ref.at[:, pl.ds(start, k)], dsem.at[slot])
 
-    @pl.when(nch > 0)
-    def _():
-        chunk_dma(0, 0).start()
-        rmw_dma().start()
+        # the window's first chunk may be shared with the previous tile's last
+        # chunk (skip > 0): read its current gradients and accumulate, so this
+        # tile's write cannot clobber the neighbor's slots.  The grid is
+        # sequential and every kernel drains its write DMAs before returning,
+        # so the read sees the neighbor's final values.
+        def rmw_dma():
+            start = pl.multiple_of(base, k)
+            return pltpu.make_async_copy(
+                dout_ref.at[:, pl.ds(start, k)], rscr, rsem)
 
-    def body(carry):
-        c, log_t_un, cum_u = carry
-        slot = c % 2
-
-        @pl.when(c + 1 < nch)
+        @pl.when(nch > 0)
         def _():
-            chunk_dma(c + 1, (c + 1) % 2).start()
+            chunk_dma(0, 0).start()
+            rmw_dma().start()
 
-        chunk_dma(c, slot).wait()
-        # the gradient scratch slot is reused every other chunk: make sure
-        # its previous write-out has drained before overwriting
-        @pl.when(c >= 2)
+        def body(carry):
+            c, log_t_un, cum_u = carry
+            slot = c % 2
+
+            @pl.when(c + 1 < nch)
+            def _():
+                chunk_dma(c + 1, (c + 1) % 2).start()
+
+            chunk_dma(c, slot).wait()
+            # the gradient scratch slot is reused every other chunk: make sure
+            # its previous write-out has drained before overwriting
+            @pl.when(c >= 2)
+            def _():
+                out_dma(c - 2, slot).wait()
+
+            alpha, g, dx, dy = _chunk_alpha(scr[slot], pxf, pyf, settings,
+                                            _window_mask(base, uo, cnt, c, lane,
+                                                         k))
+            alog = jnp.log1p(-alpha)
+            alog_incl = _lane_cumsum(alog, k)
+            t_excl = jnp.exp(alog_incl - alog + log_t_un)
+            incl = (t_excl >= settings.t_threshold).astype(jnp.float32)
+            live = (alpha > 0.0).astype(jnp.float32) * incl
+            w = alpha * t_excl * incl
+
+            # gamma4[p, j] = sum_ch g4[p, ch] * c4[ch, j] — the contraction dim
+            # is only 4, so exact f32 VPU broadcast math beats any MXU tier
+            col = scr[slot]
+            gamma4 = (g4[:, 0:1] * col[ROW_R:ROW_R + 1, :]
+                      + g4[:, 1:2] * col[ROW_G:ROW_G + 1, :]
+                      + g4[:, 2:3] * col[ROW_B:ROW_B + 1, :]
+                      + g4[:, 3:4])  # (P, K); the alpha row of c4 is all-ones
+
+            u = gamma4 * w
+            u_incl = _lane_cumsum(u, k)
+            u_prefix = cum_u + u_incl  # inclusive, (P, K)
+            one_m_a = 1.0 - alpha
+            dl_da = (gamma4 * t_excl
+                     - (suffix_extra - u_prefix) / one_m_a) * live
+
+            op = scr[slot, ROW_OP:ROW_OP + 1, :]
+            unclamped = (op * g < settings.alpha_max).astype(jnp.float32)
+            dl_dg = dl_da * op * unclamped
+            d_op = jnp.sum(dl_da * g * unclamped, axis=0, keepdims=True)  # (1, K)
+
+            # d color: dL/dc[j,ch] = sum_p g_ch[p] * w[p,j]
+            d_col = _dot_general_tiered(
+                gpix_ref[i, :, 0:3], w, (((0,), (0,)), ((), ())),
+                settings)  # (3, K)
+
+            ca = scr[slot, ROW_CA:ROW_CA + 1, :]
+            cb = scr[slot, ROW_CB:ROW_CB + 1, :]
+            cc = scr[slot, ROW_CC:ROW_CC + 1, :]
+            q = dl_dg * (-0.5 * g)  # (P, K)
+            # power = ca dx^2 + 2 cb dx dy + cc dy^2; d(delta)/d(center) = -1
+            d_cx = -jnp.sum(q * (2.0 * ca * dx + 2.0 * cb * dy), axis=0,
+                            keepdims=True)
+            d_cy = -jnp.sum(q * (2.0 * cc * dy + 2.0 * cb * dx), axis=0,
+                            keepdims=True)
+            d_ca = jnp.sum(q * dx * dx, axis=0, keepdims=True)
+            d_cb = jnp.sum(q * 2.0 * dx * dy, axis=0, keepdims=True)
+            d_cc = jnp.sum(q * dy * dy, axis=0, keepdims=True)
+
+            dscr[slot, ROW_CX:ROW_CX + 1, :] = d_cx
+            dscr[slot, ROW_CY:ROW_CY + 1, :] = d_cy
+            dscr[slot, ROW_CA:ROW_CA + 1, :] = d_ca
+            dscr[slot, ROW_CB:ROW_CB + 1, :] = d_cb
+            dscr[slot, ROW_CC:ROW_CC + 1, :] = d_cc
+            dscr[slot, ROW_R:ROW_B + 1, :] = d_col
+            dscr[slot, ROW_OP:ROW_OP + 1, :] = d_op
+            dscr[slot, ROW_EX:NUM_ROWS, :] = jnp.zeros((NUM_ROWS - ROW_EX, k),
+                                                       jnp.float32)
+
+            # accumulate into the shared boundary chunk (foreign slots of this
+            # tile carry exact zeros, so the add preserves the neighbor's
+            # gradients; on a fresh chunk skip == 0 selects the zeros)
+            @pl.when(c == 0)
+            def _():
+                rmw_dma().wait()
+                dscr[slot] = dscr[slot] + jnp.where(skip > 0, rscr[...], 0.0)
+
+            out_dma(c, slot).start()
+
+            log_t_un = log_t_un + alog_incl[:, k - 1:k]
+            cum_u = cum_u + u_incl[:, k - 1:k]
+            return c + 1, log_t_un, cum_u
+
+        def cond(carry):
+            c, log_t_un, _ = carry
+            return (c < nch) & (jnp.max(log_t_un) >= log_t_min)
+
+        zero_p1 = jnp.zeros((p, 1), jnp.float32)
+        done_c, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), zero_p1, zero_p1))
+
+        # drain pending gradient write-outs (up to 2) and, if the saturation
+        # early-exit fired, the prefetched input DMA
+        @pl.when(done_c >= 2)
         def _():
-            out_dma(c - 2, slot).wait()
+            out_dma(done_c - 2, done_c % 2).wait()
 
-        alpha, g, dx, dy = _chunk_alpha(scr[slot], pxf, pyf, settings,
-                                        _window_mask(base, uo, cnt, c, lane,
-                                                     k))
-        alog = jnp.log1p(-alpha)
-        alog_incl = _lane_cumsum(alog, k)
-        t_excl = jnp.exp(alog_incl - alog + log_t_un)
-        incl = (t_excl >= settings.t_threshold).astype(jnp.float32)
-        live = (alpha > 0.0).astype(jnp.float32) * incl
-        w = alpha * t_excl * incl
-
-        # gamma4[p, j] = sum_ch g4[p, ch] * c4[ch, j] — the contraction dim
-        # is only 4, so exact f32 VPU broadcast math beats any MXU tier
-        col = scr[slot]
-        gamma4 = (g4[:, 0:1] * col[ROW_R:ROW_R + 1, :]
-                  + g4[:, 1:2] * col[ROW_G:ROW_G + 1, :]
-                  + g4[:, 2:3] * col[ROW_B:ROW_B + 1, :]
-                  + g4[:, 3:4])  # (P, K); the alpha row of c4 is all-ones
-
-        u = gamma4 * w
-        u_incl = _lane_cumsum(u, k)
-        u_prefix = cum_u + u_incl  # inclusive, (P, K)
-        one_m_a = 1.0 - alpha
-        dl_da = (gamma4 * t_excl
-                 - (suffix_extra - u_prefix) / one_m_a) * live
-
-        op = scr[slot, ROW_OP:ROW_OP + 1, :]
-        unclamped = (op * g < settings.alpha_max).astype(jnp.float32)
-        dl_dg = dl_da * op * unclamped
-        d_op = jnp.sum(dl_da * g * unclamped, axis=0, keepdims=True)  # (1, K)
-
-        # d color: dL/dc[j,ch] = sum_p g_ch[p] * w[p,j]
-        d_col = _dot_general_tiered(
-            gpix_ref[0, :, 0:3], w, (((0,), (0,)), ((), ())),
-            settings)  # (3, K)
-
-        ca = scr[slot, ROW_CA:ROW_CA + 1, :]
-        cb = scr[slot, ROW_CB:ROW_CB + 1, :]
-        cc = scr[slot, ROW_CC:ROW_CC + 1, :]
-        q = dl_dg * (-0.5 * g)  # (P, K)
-        # power = ca dx^2 + 2 cb dx dy + cc dy^2; d(delta)/d(center) = -1
-        d_cx = -jnp.sum(q * (2.0 * ca * dx + 2.0 * cb * dy), axis=0,
-                        keepdims=True)
-        d_cy = -jnp.sum(q * (2.0 * cc * dy + 2.0 * cb * dx), axis=0,
-                        keepdims=True)
-        d_ca = jnp.sum(q * dx * dx, axis=0, keepdims=True)
-        d_cb = jnp.sum(q * 2.0 * dx * dy, axis=0, keepdims=True)
-        d_cc = jnp.sum(q * dy * dy, axis=0, keepdims=True)
-
-        dscr[slot, ROW_CX:ROW_CX + 1, :] = d_cx
-        dscr[slot, ROW_CY:ROW_CY + 1, :] = d_cy
-        dscr[slot, ROW_CA:ROW_CA + 1, :] = d_ca
-        dscr[slot, ROW_CB:ROW_CB + 1, :] = d_cb
-        dscr[slot, ROW_CC:ROW_CC + 1, :] = d_cc
-        dscr[slot, ROW_R:ROW_B + 1, :] = d_col
-        dscr[slot, ROW_OP:ROW_OP + 1, :] = d_op
-        dscr[slot, ROW_EX:NUM_ROWS, :] = jnp.zeros((NUM_ROWS - ROW_EX, k),
-                                                   jnp.float32)
-
-        # accumulate into the shared boundary chunk (foreign slots of this
-        # tile carry exact zeros, so the add preserves the neighbor's
-        # gradients; on a fresh chunk skip == 0 selects the zeros)
-        @pl.when(c == 0)
+        @pl.when(done_c >= 1)
         def _():
-            rmw_dma().wait()
-            dscr[slot] = dscr[slot] + jnp.where(skip > 0, rscr[...], 0.0)
+            out_dma(done_c - 1, (done_c - 1) % 2).wait()
 
-        out_dma(c, slot).start()
-
-        log_t_un = log_t_un + alog_incl[:, k - 1:k]
-        cum_u = cum_u + u_incl[:, k - 1:k]
-        return c + 1, log_t_un, cum_u
-
-    def cond(carry):
-        c, log_t_un, _ = carry
-        return (c < nch) & (jnp.max(log_t_un) >= log_t_min)
-
-    zero_p1 = jnp.zeros((p, 1), jnp.float32)
-    done_c, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), zero_p1, zero_p1))
-
-    # drain pending gradient write-outs (up to 2) and, if the saturation
-    # early-exit fired, the prefetched input DMA
-    @pl.when(done_c >= 2)
-    def _():
-        out_dma(done_c - 2, done_c % 2).wait()
-
-    @pl.when(done_c >= 1)
-    def _():
-        out_dma(done_c - 1, (done_c - 1) % 2).wait()
-
-    @pl.when(done_c < nch)
-    def _():
-        chunk_dma(done_c, done_c % 2).wait()
-
-    # chunks skipped by saturation early-exit still need zero gradients
-    # (their shared-boundary content is restored by the NEXT tile's rmw
-    # add; chunk 0 is never zero-filled — the body always processes it);
-    # both scratch slots hold zeros so the fill DMAs can be double-buffered
-    dscr[0] = jnp.zeros((NUM_ROWS, k), jnp.float32)
-    dscr[1] = jnp.zeros((NUM_ROWS, k), jnp.float32)
-
-    def zfill_dma(c):
-        start = pl.multiple_of(base + c * k, k)
-        slot = c % 2
-        return pltpu.make_async_copy(
-            dscr.at[slot], dout_ref.at[:, pl.ds(start, k)], dsem.at[slot])
-
-    def zero_fill(c, _):
-        @pl.when(c >= done_c + 2)
+        @pl.when(done_c < nch)
         def _():
-            zfill_dma(c - 2).wait()
-        zfill_dma(c).start()
+            chunk_dma(done_c, done_c % 2).wait()
+
+        # chunks skipped by saturation early-exit still need zero gradients
+        # (their shared-boundary content is restored by the NEXT tile's rmw
+        # add; chunk 0 is never zero-filled — the body always processes it);
+        # both scratch slots hold zeros so the fill DMAs can be double-buffered
+        dscr[0] = jnp.zeros((NUM_ROWS, k), jnp.float32)
+        dscr[1] = jnp.zeros((NUM_ROWS, k), jnp.float32)
+
+        def zfill_dma(c):
+            start = pl.multiple_of(base + c * k, k)
+            slot = c % 2
+            return pltpu.make_async_copy(
+                dscr.at[slot], dout_ref.at[:, pl.ds(start, k)], dsem.at[slot])
+
+        def zero_fill(c, _):
+            @pl.when(c >= done_c + 2)
+            def _():
+                zfill_dma(c - 2).wait()
+            zfill_dma(c).start()
+            return 0
+
+        jax.lax.fori_loop(done_c, nch, zero_fill, 0)
+
+        @pl.when(nch - done_c >= 2)
+        def _():
+            zfill_dma(nch - 2).wait()
+
+        @pl.when(nch - done_c >= 1)
+        def _():
+            zfill_dma(nch - 1).wait()
         return 0
 
-    jax.lax.fori_loop(done_c, nch, zero_fill, 0)
+    jax.lax.fori_loop(0, gstep, tile_body, 0)
 
-    @pl.when(nch - done_c >= 2)
-    def _():
-        zfill_dma(nch - 2).wait()
 
-    @pl.when(nch - done_c >= 1)
-    def _():
-        zfill_dma(nch - 1).wait()
+def _pad_tiles(tile_offsets, n_tiles: int, g: int):
+    """Pad (T+1,) offsets so the tile count is a multiple of the kernels'
+    tiles-per-step; trailing tiles repeat the total (empty ranges)."""
+    n_pad = -(-n_tiles // g) * g
+    if n_pad == n_tiles:
+        return tile_offsets, n_pad
+    tail = jnp.broadcast_to(tile_offsets[-1:], (n_pad - n_tiles,))
+    return jnp.concatenate([tile_offsets, tail]), n_pad
 
 
 def _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
                   settings: RenderSettings):
     p = settings.tile_px
     k = settings.chunk
+    g = settings.tiles_per_step
     n_tiles = num_tiles_x * num_tiles_y
+    offsets, n_pad = _pad_tiles(tile_offsets, n_tiles, g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_pad // g,),
         # keep the packed entries in HBM: tile ranges start at arbitrary
         # offsets, and only HBM (linear) refs can be sliced unaligned for DMA
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=pl.BlockSpec((1, p, NUM_OUT), lambda i, offs: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, p, NUM_OUT), lambda i, offs: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_ROWS, k), jnp.float32),
@@ -483,28 +519,35 @@ def _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
     )
     kernel = functools.partial(_fwd_kernel, ntx=num_tiles_x,
                                settings=settings)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, p, NUM_OUT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, p, NUM_OUT), jnp.float32),
         interpret=use_interpret_mode(),
-    )(tile_offsets, attrs16)
+    )(offsets, attrs16)
+    return out[:n_tiles] if n_pad != n_tiles else out
 
 
 def _backward_impl(attrs16, tile_offsets, fwd_out, gpix, num_tiles_x,
                    num_tiles_y, settings: RenderSettings):
     p = settings.tile_px
     k = settings.chunk
+    g = settings.tiles_per_step
     n_tiles = num_tiles_x * num_tiles_y
     e_pad = attrs16.shape[1]
+    offsets, n_pad = _pad_tiles(tile_offsets, n_tiles, g)
+    if n_pad != n_tiles:
+        pad = ((0, n_pad - n_tiles), (0, 0), (0, 0))
+        fwd_out = jnp.pad(fwd_out, pad)
+        gpix = jnp.pad(gpix, pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_pad // g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((1, p, NUM_OUT), lambda i, offs: (i, 0, 0),
+            pl.BlockSpec((g, p, NUM_OUT), lambda i, offs: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, NUM_OUT), lambda i, offs: (i, 0, 0),
+            pl.BlockSpec((g, p, NUM_OUT), lambda i, offs: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -525,7 +568,7 @@ def _backward_impl(attrs16, tile_offsets, fwd_out, gpix, num_tiles_x,
         out_shape=jax.ShapeDtypeStruct((NUM_ROWS, e_pad), jnp.float32),
         interpret=use_interpret_mode(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_offsets, attrs16, fwd_out, gpix)
+    )(offsets, attrs16, fwd_out, gpix)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
