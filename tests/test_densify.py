@@ -127,7 +127,7 @@ def test_importance_counts_match_bruteforce():
     expect = np.zeros(scene.capacity)
     for y in range(h):
         for x in range(w):
-            tid = (y // 16) * ntx + (x // 16)
+            tid = (y // SETTINGS.tile_h) * ntx + (x // SETTINGS.tile_w)
             lo = offs[tid]
             for j in range(nc[y, x]):
                 e = lo + j

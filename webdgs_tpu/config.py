@@ -26,7 +26,15 @@ class RenderSettings:
       (src/renderers/tiled-forward-pass.ts:18-19).
     """
 
-    tile_w: int = 16
+    # Tile size is an execution parameter, not a semantics one: the final
+    # image is identical for any tiling (pixel contributions are decided
+    # by the per-splat extent/alpha tests, not by tile membership).  The
+    # reference uses 16x16 (tiled-forward-pass.ts:18-19); the on-chip
+    # sweep measured 32x16 ~15% faster end to end on a v5e chip (fewer
+    # tiles -> fewer entries and ranges; (512, K) VPU/MXU blocks) —
+    # 35.3 vs 30.7 it/s at 100k/800x600 — and it halves the tile count
+    # against the 16-bit tile-key ceiling.
+    tile_w: int = 32
     tile_h: int = 16
     # Splat-size multiplier — the reference's "Gaussian scale" slider
     # (index.html:246, main.ts:369-372).  Its tiled path declares but never
@@ -50,7 +58,10 @@ class RenderSettings:
     # (src/shaders/tiled-rasterizer.wgsl:58: black).
     background: tuple[float, float, float] = (0.0, 0.0, 0.0)
     # Splats per chunk processed by the rasterizer kernel (MXU K dimension).
-    chunk: int = 256
+    # The on-chip sweep: 128 > 256 > 512 end to end (30.7 / 29.0 / 23.4
+    # it/s at 16x16 tiles) — the prefix matmul's K^2 cost outgrows the
+    # fewer-iterations win.
+    chunk: int = 128
     # Tiles processed per Pallas grid step in the rasterizer/importance
     # kernels (the tile grid is padded to a multiple; padding tiles have
     # empty ranges).  Measured on a v5e chip at 800x600/100k: g=8 is

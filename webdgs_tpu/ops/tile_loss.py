@@ -59,10 +59,10 @@ WIN = 2 * HALF + 1
 
 def supports_tile_loss(img_w: int, img_h: int,
                        settings: RenderSettings) -> bool:
-    ntx = -(-img_w // settings.tile_w)
-    hw = settings.tile_w + 2 * HALF
-    hh = settings.tile_h + 2 * HALF
-    return ntx >= 3 and img_w >= hw and img_h >= hh
+    # The row-band kernel's clamped selects handle any tile count and any
+    # frame border; only frames smaller than the 5x5 SSIM window itself
+    # fall back to the image-space oracle path (ops/loss.py).
+    return img_w >= WIN and img_h >= WIN
 
 
 def _onehot_select(src_idx: jax.Array, n_src: int):
