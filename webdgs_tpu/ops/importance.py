@@ -135,7 +135,7 @@ def _metric_replay(base, uo, cnt, nch, skip, pxf, pyf, flagged, n_contrib,
         def _():
             out_dma(c - 2, slot).wait()
 
-        alpha, _, _, _ = _chunk_alpha(
+        alpha, _, _, _, _, _ = _chunk_alpha(
             scr[slot], pxf, pyf, settings,
             raster_ops._window_mask(base, uo, cnt, c, lane, k))
         pos = (base + c * k + lane - uo + 1).astype(jnp.float32)

@@ -112,12 +112,18 @@ def ssim(pred: jax.Array, target: jax.Array, window: int = 11,
         pad = [(half, half), (half, half), (0, 0)]
         v = jnp.pad(img, pad, mode="edge")
         v = v.transpose(2, 0, 1)[:, None]  # (C, 1, H', W')
+        # HIGHEST precision: the TPU's default bf16 conv rounds the blurs
+        # by ~2^-8, and the variance cancellation blur(x^2) - mu^2 then
+        # dwarfs c2=9e-4 — on chip the default produced SSIM "means" > 1
+        # (5.6 on a converged scene).  The blur is tiny; exactness is free.
         v = jax.lax.conv_general_dilated(
             v, g.reshape(1, 1, window, 1), (1, 1), "VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST)
         v = jax.lax.conv_general_dilated(
             v, g.reshape(1, 1, 1, window), (1, 1), "VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST)
         return v[:, 0].transpose(1, 2, 0)
 
     mu_x = blur(pred)

@@ -112,7 +112,10 @@ def _chunk_alpha(scr, pxf, pyf, settings: RenderSettings, mask=None):
 
     ``mask``: optional (1, K) lane validity; masked lanes get alpha 0 (an
     exact no-op in the compositor and a zero in every gradient).
-    Returns (alpha (P,K), gaussian weight G (P,K), dx, dy).
+    Returns (alpha (P,K), gaussian weight G (P,K), dx, dy, u1, u2) where
+    u1 = ca*dx + cb*dy and u2 = cb*dx + cc*dy are the conic quadratic
+    form's factors (power = dx*u1 + dy*u2) — the backward reuses them:
+    d power/d center = -2*(u1, u2).
     """
     cx = scr[ROW_CX:ROW_CX + 1, :]
     cy = scr[ROW_CY:ROW_CY + 1, :]
@@ -125,7 +128,9 @@ def _chunk_alpha(scr, pxf, pyf, settings: RenderSettings, mask=None):
 
     dx = pxf - cx  # (P, K)
     dy = pyf - cy
-    power = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+    u1 = ca * dx + cb * dy
+    u2 = cb * dx + cc * dy
+    power = dx * u1 + dy * u2
     g = jnp.exp(-0.5 * power)
     alpha = jnp.minimum(op * g, settings.alpha_max)
     in_ext = (jnp.abs(dx) <= ex) & (jnp.abs(dy) <= ey)
@@ -133,7 +138,7 @@ def _chunk_alpha(scr, pxf, pyf, settings: RenderSettings, mask=None):
     if mask is not None:
         keep = keep & mask
     alpha = jnp.where(keep, alpha, 0.0)
-    return alpha, g, dx, dy
+    return alpha, g, dx, dy, u1, u2
 
 
 def _lane_cumsum(x, k: int):
@@ -240,7 +245,7 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
 
             chunk_dma(c, slot).wait()
 
-            alpha, _, _, _ = _chunk_alpha(
+            alpha, _, _, _, _, _ = _chunk_alpha(
                 scr[slot], pxf, pyf, settings,
                 _window_mask(base, uo, cnt, c, lane, k))
             alog = jnp.log1p(-alpha)
@@ -294,6 +299,7 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
 
 def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
                 scr, dscr, rscr, sem, dsem, rsem, *, ntx: int,
+                n_pad_tiles: int, e_pad: int,
                 settings: RenderSettings):
     p = settings.tile_px
     k = settings.chunk
@@ -359,7 +365,8 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
             def _():
                 out_dma(c - 2, slot).wait()
 
-            alpha, g, dx, dy = _chunk_alpha(scr[slot], pxf, pyf, settings,
+            alpha, g, dx, dy, u1, u2 = _chunk_alpha(scr[slot], pxf, pyf,
+                                                       settings,
                                             _window_mask(base, uo, cnt, c, lane,
                                                          k))
             alog = jnp.log1p(-alpha)
@@ -394,18 +401,17 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
                 gpix_ref[i, :, 0:3], w, (((0,), (0,)), ((), ())),
                 settings)  # (3, K)
 
-            ca = scr[slot, ROW_CA:ROW_CA + 1, :]
-            cb = scr[slot, ROW_CB:ROW_CB + 1, :]
-            cc = scr[slot, ROW_CC:ROW_CC + 1, :]
             q = dl_dg * (-0.5 * g)  # (P, K)
-            # power = ca dx^2 + 2 cb dx dy + cc dy^2; d(delta)/d(center) = -1
-            d_cx = -jnp.sum(q * (2.0 * ca * dx + 2.0 * cb * dy), axis=0,
-                            keepdims=True)
-            d_cy = -jnp.sum(q * (2.0 * cc * dy + 2.0 * cb * dx), axis=0,
-                            keepdims=True)
-            d_ca = jnp.sum(q * dx * dx, axis=0, keepdims=True)
-            d_cb = jnp.sum(q * 2.0 * dx * dy, axis=0, keepdims=True)
-            d_cc = jnp.sum(q * dy * dy, axis=0, keepdims=True)
+            # power = dx*u1 + dy*u2 with u1 = ca dx + cb dy, u2 = cb dx +
+            # cc dy (already computed for alpha); d power/d center =
+            # -2*(u1, u2), and qx/qy fold the shared products once
+            qx = q * dx
+            qy = q * dy
+            d_cx = -2.0 * jnp.sum(q * u1, axis=0, keepdims=True)
+            d_cy = -2.0 * jnp.sum(q * u2, axis=0, keepdims=True)
+            d_ca = jnp.sum(qx * dx, axis=0, keepdims=True)
+            d_cb = 2.0 * jnp.sum(qx * dy, axis=0, keepdims=True)
+            d_cc = jnp.sum(qy * dy, axis=0, keepdims=True)
 
             dscr[slot, ROW_CX:ROW_CX + 1, :] = d_cx
             dscr[slot, ROW_CY:ROW_CY + 1, :] = d_cy
@@ -466,22 +472,33 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
             return pltpu.make_async_copy(
                 dscr.at[slot], dout_ref.at[:, pl.ds(start, k)], dsem.at[slot])
 
+        # fill start: after the body's chunks for a live tile; for an
+        # EMPTY tile, skip a shared first chunk (a neighbor's data lives
+        # there).  Fill end: the LAST tile extends to the whole buffer so
+        # d_attrs has no garbage tail — consumers then need no mask and
+        # the cotangent is fully defined (slots past the ranges get exact
+        # zeros).
+        zstart = jnp.where(cnt > 0, done_c,
+                           jnp.where(skip > 0, jnp.int32(1), jnp.int32(0)))
+        zend = jnp.where(t == n_pad_tiles - 1,
+                         e_pad // k - base // k, nch)
+
         def zero_fill(c, _):
-            @pl.when(c >= done_c + 2)
+            @pl.when(c >= zstart + 2)
             def _():
                 zfill_dma(c - 2).wait()
             zfill_dma(c).start()
             return 0
 
-        jax.lax.fori_loop(done_c, nch, zero_fill, 0)
+        jax.lax.fori_loop(zstart, zend, zero_fill, 0)
 
-        @pl.when(nch - done_c >= 2)
+        @pl.when(zend - zstart >= 2)
         def _():
-            zfill_dma(nch - 2).wait()
+            zfill_dma(zend - 2).wait()
 
-        @pl.when(nch - done_c >= 1)
+        @pl.when(zend - zstart >= 1)
         def _():
-            zfill_dma(nch - 1).wait()
+            zfill_dma(zend - 1).wait()
         return 0
 
     jax.lax.fori_loop(0, gstep, tile_body, 0)
@@ -561,6 +578,7 @@ def _backward_impl(attrs16, tile_offsets, fwd_out, gpix, num_tiles_x,
         ],
     )
     kernel = functools.partial(_bwd_kernel, ntx=num_tiles_x,
+                               n_pad_tiles=n_pad, e_pad=e_pad,
                                settings=settings)
     return pl.pallas_call(
         kernel,
@@ -597,9 +615,12 @@ def _rasterize_bwd(num_tiles_x, num_tiles_y, settings, residuals, g):
     attrs16, tile_offsets, fwd_out = residuals
     d_attrs = _backward_impl(attrs16, tile_offsets, fwd_out, g,
                              num_tiles_x, num_tiles_y, settings)
-    # entries beyond the last tile range are never written by the kernel
-    used = jnp.arange(attrs16.shape[1], dtype=jnp.int32) < tile_offsets[-1]
-    d_attrs = jnp.where(used[None, :], d_attrs, 0.0)
+    # Slots past the last tile window hold garbage (never written by the
+    # kernel), but every consumer of this cotangent masks by entry_valid
+    # before use — segment_reduce_entries and the plain-gather VJP both
+    # zero invalid slots, and the sharded exchange backward masks by its
+    # own validity — so no (16, E) where-mask is paid here (it measured
+    # 1.45 ms of pure HBM traffic per step at 786k entries).
     d_offsets = np.zeros(tile_offsets.shape, dtype=jax.dtypes.float0)
     return d_attrs, d_offsets
 

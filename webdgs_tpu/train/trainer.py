@@ -99,6 +99,7 @@ class Trainer:
         self._entry_cap_peak = 0.0
         self.step_ms = 0.0
         self.iters_per_sec = 0.0
+        self._rate_mark: tuple[int, float] | None = None
         self.last_densify_iteration: int | None = None
         self.last_metrics: dict = {}
 
@@ -252,13 +253,29 @@ class Trainer:
         self._finish_step(t0, metrics)
         return metrics
 
+    RATE_SYNC_INTERVAL = 100
+
     def _finish_step(self, t0: float, metrics: dict) -> None:
-        """Step timing + iters/s EMA (trainer.ts:648-651), shared with the
-        sharded trainer."""
+        """Step timing + iters/s meter (trainer.ts:648-651), shared with
+        the sharded trainer.
+
+        Per-step wall time measures only DISPATCH under async execution
+        (the jitted step returns before the device finishes — the 30k
+        on-chip run logged 10000+ "it/s" from the old per-step EMA), so
+        the honest rate is iterations over wall time between real device
+        syncs: every RATE_SYNC_INTERVAL steps one loss scalar is fetched
+        (~25 ms through the tunnel, <1% at 100-step windows) and the rate
+        spans the window — densify events and adaptation readbacks
+        included."""
         self.step_ms = (time.perf_counter() - t0) * 1e3
-        inst = 1000.0 / self.step_ms if self.step_ms > 0 else 0.0
-        self.iters_per_sec = (inst if self.iters_per_sec == 0 else
-                              0.9 * self.iters_per_sec + 0.1 * inst)
+        if self.iteration % self.RATE_SYNC_INTERVAL == 0:
+            _ = float(metrics["loss"])  # block until this step finished
+            now = time.perf_counter()
+            if self._rate_mark is not None:
+                it0, tm = self._rate_mark
+                if self.iteration > it0 and now > tm:
+                    self.iters_per_sec = (self.iteration - it0) / (now - tm)
+            self._rate_mark = (self.iteration, now)
         self.last_metrics = metrics
 
     # ------------------------------------------------------------------
