@@ -212,14 +212,19 @@ def test_gaussian_sharded_render_drop_budget(mesh):
     from webdgs_tpu.parallel.sharding import render_gaussian_sharded
 
     w, h = 64, 64
+    # 16x16 tiles: the overflow engineering below is tuned to per-band
+    # entry counts at this tiling (wider default tiles halve entries per
+    # gaussian and the one-chunk budget stops overflowing)
+    settings16 = dataclasses.replace(SETTINGS, tile_w=16, tile_h=16)
     scene = random_scene(400, seed=26)
     # concentrate everything: large splats all over one band
     scene = scene.replace(log_scales=scene.log_scales + 1.5)
     d = len(mesh.devices.reshape(-1))
     scene = scene.pad_to(-(-scene.capacity // d) * d)
     cam = default_camera(w, h, position=(0.0, 0.0, -5.0))
-    img, dropped = render_gaussian_sharded(scene, cam, w, h, mesh, SETTINGS,
-                                           send_capacity=SETTINGS.chunk)
+    img, dropped = render_gaussian_sharded(scene, cam, w, h, mesh,
+                                           settings16,
+                                           send_capacity=settings16.chunk)
     assert img.shape == (h, w, 3)
     assert np.isfinite(np.asarray(img)).all()
     assert int(dropped) > 0
@@ -496,7 +501,9 @@ def test_gs_adaptive_send_capacity(mesh):
     w, h = 128, 64
     # concentrated: every splat is large and centered, so entries pile into
     # the middle tile bands and the per-(device, band) send peak exceeds
-    # the one-chunk budget below (measured: send_max ~200 at step 1)
+    # the one-chunk budget below (measured: send_max ~200 at step 1 at
+    # 16x16 tiles — the tiling this engineering is tuned to)
+    settings16 = dataclasses.replace(SETTINGS, tile_w=16, tile_h=16)
     scene = random_scene(256, seed=90)
     scene = scene.replace(
         means=scene.means * 0.3,
@@ -514,10 +521,10 @@ def test_gs_adaptive_send_capacity(mesh):
         schedule=DensifySchedule(enabled=False)))
     tr = GsTrainer(random_scene(256, seed=90).replace(
         means=scene.means, log_scales=scene.log_scales,
-        opacity_logits=scene.opacity_logits), cams, imgs, cfg, SETTINGS,
+        opacity_logits=scene.opacity_logits), cams, imgs, cfg, settings16,
         mesh=mesh, initial_capacity=256)
     tr.ENTRY_CAP_INTERVAL = 2
-    tr._gs_send_cap = SETTINGS.chunk  # deliberately too small
+    tr._gs_send_cap = settings16.chunk  # deliberately too small
     # a roomy expansion capacity so the send budget is the binding limit
     # (the heuristic e_loc would floor at one chunk for 32 splats/device,
     # making overload structurally impossible)
