@@ -13,7 +13,7 @@ def main():
     from webdgs_tpu.render.renderer import render
     from webdgs_tpu.train.step import train_step
 
-    n = 1_000_000
+    n = int(os.environ.get("WEBDGS_BENCH_N", 1_000_000))
     w, h = 800, 600
     rng = np.random.default_rng(0)
     quats = rng.normal(0, 1, (n, 4)).astype(np.float32)
@@ -32,7 +32,7 @@ def main():
     for _ in range(10): img = f(scene)
     _ = float(jnp.sum(img))
     dt = (time.perf_counter()-t0)/10
-    print(f"render 1M: {dt*1e3:.1f} ms/frame ({1/dt:.1f} fps, "
+    print(f"render {n/1e6:g}M: {dt*1e3:.1f} ms/frame ({1/dt:.1f} fps, "
           f"{w*h/dt/1e6:.1f} Mpix/s)", flush=True)
 
     target = img
@@ -60,7 +60,7 @@ def main():
         sc, o, m = dstep(sc, o)
     _ = float(jnp.sum(sc.means))
     dt = (time.perf_counter()-t0)/10
-    print(f"train 1M (cap {cap}): {dt*1e3:.1f} ms/step ({1/dt:.2f} it/s)",
+    print(f"train {n/1e6:g}M (cap {cap}): {dt*1e3:.1f} ms/step ({1/dt:.2f} it/s)",
           flush=True)
 
 if __name__ == "__main__":
