@@ -187,6 +187,29 @@ def test_trainer_with_densify_runs():
     assert int(trainer.scene.num_alive()) == trainer.num_points
 
 
+def test_entry_cap_grows_with_densify_swap():
+    """A densify swap must scale the entry budget proactively (the next
+    adaptation readback is up to ENTRY_CAP_INTERVAL-1 steps away); the
+    reference resizes maxTileEntries from the new point count at the swap
+    (tiled-forward-pass.ts:137-158)."""
+    t = object.__new__(Trainer)
+    t.settings = SETTINGS
+    t._entry_cap_peak = 10_000.0
+    t._entry_cap_value = 12_288
+
+    t._grow_entry_cap_for_swap(out_total=200, in_alive=100)  # 2x points
+    assert t._entry_cap_peak == pytest.approx(20_000.0)
+    assert t._entry_cap_value >= 20_000 * Trainer.ENTRY_CAP_HEADROOM * 0.85
+    assert t._entry_cap_value % SETTINGS.chunk == 0
+
+    # prune-only swaps and no-op swaps never shrink the budget (shrinking
+    # is the adaptation loop's job, via its decaying peak)
+    cap = t._entry_cap_value
+    t._grow_entry_cap_for_swap(out_total=50, in_alive=100)
+    t._grow_entry_cap_for_swap(out_total=0, in_alive=0)
+    assert t._entry_cap_value == cap
+
+
 @pytest.mark.slow
 def test_trainer_evaluate():
     w, h = 32, 32

@@ -207,7 +207,8 @@ def _pixel_coords(t, ntx, settings: RenderSettings):
 
 
 def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
-                ntx: int, settings: RenderSettings):
+                ntx: int, settings: RenderSettings,
+                track_ncontrib: bool = True):
     p = settings.tile_px
     k = settings.chunk
     g = settings.tiles_per_step
@@ -264,13 +265,14 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
             log_t_gated = log_t_gated + jnp.sum(alog * incl, axis=1,
                                                 keepdims=True)
 
-            # 1-based position within the TILE's real range (window slots
-            # before uo are foreign and already masked to alpha 0)
-            pos = (base + c * k + lane - uo + 1).astype(jnp.float32)
-            contrib = (alpha > 0.0) & (incl > 0.0)
-            nmax = jnp.maximum(
-                nmax, jnp.max(jnp.where(contrib, pos, 0.0), axis=1,
-                              keepdims=True))
+            if track_ncontrib:
+                # 1-based position within the TILE's real range (window
+                # slots before uo are foreign and already masked to alpha 0)
+                pos = (base + c * k + lane - uo + 1).astype(jnp.float32)
+                contrib = (alpha > 0.0) & (incl > 0.0)
+                nmax = jnp.maximum(
+                    nmax, jnp.max(jnp.where(contrib, pos, 0.0), axis=1,
+                                  keepdims=True))
             return c + 1, log_t_un, log_t_gated, acc, nmax
 
         def cond(carry):
@@ -515,7 +517,7 @@ def _pad_tiles(tile_offsets, n_tiles: int, g: int):
 
 
 def _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
-                  settings: RenderSettings):
+                  settings: RenderSettings, track_ncontrib: bool = True):
     p = settings.tile_px
     k = settings.chunk
     g = settings.tiles_per_step
@@ -535,7 +537,8 @@ def _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
         ],
     )
     kernel = functools.partial(_fwd_kernel, ntx=num_tiles_x,
-                               settings=settings)
+                               settings=settings,
+                               track_ncontrib=track_ncontrib)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -589,29 +592,36 @@ def _backward_impl(attrs16, tile_offsets, fwd_out, gpix, num_tiles_x,
     )(offsets, attrs16, fwd_out, gpix)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def rasterize_tiles(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
-                    settings: RenderSettings):
+                    settings: RenderSettings, track_ncontrib: bool = True):
     """attrs16: (16, E) packed per-entry splat attributes in sorted
     tile/depth order; tile_offsets: (T+1,) i32 entry ranges — UNALIGNED
     cumulative counts are fine (the kernels read chunk-aligned superset
     windows and mask foreign slots); chunk-aligned layouts with zeroed
     padding rows (the sharded exchange paths) work identically.
 
+    ``track_ncontrib``: the per-pixel last-contributor index (channel 5,
+    tiled-rasterizer.wgsl:238-240) is consumed only by the importance
+    replay (metric-count.wgsl); training steps pass False and the forward
+    kernel skips its position/max bookkeeping (channel 5 reads 0).
+
     Returns (T, P, 8) per-tile pixel channels
     [r, g, b, acc_alpha, T_final, n_contrib, 0, 0] *without* background.
     """
     return _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
-                         settings)
+                         settings, track_ncontrib)
 
 
-def _rasterize_fwd(attrs16, tile_offsets, num_tiles_x, num_tiles_y, settings):
+def _rasterize_fwd(attrs16, tile_offsets, num_tiles_x, num_tiles_y, settings,
+                   track_ncontrib):
     out = _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
-                        settings)
+                        settings, track_ncontrib)
     return out, (attrs16, tile_offsets, out)
 
 
-def _rasterize_bwd(num_tiles_x, num_tiles_y, settings, residuals, g):
+def _rasterize_bwd(num_tiles_x, num_tiles_y, settings, track_ncontrib,
+                   residuals, g):
     attrs16, tile_offsets, fwd_out = residuals
     d_attrs = _backward_impl(attrs16, tile_offsets, fwd_out, g,
                              num_tiles_x, num_tiles_y, settings)

@@ -370,6 +370,27 @@ class GsTrainer(Trainer):
         self.opt_state = result.opt_state
         self.num_points = out_total
         self.last_densify_iteration = self.iteration
+        self._grow_entry_cap_for_swap(out_total, in_alive)
+
+    def _grow_entry_cap_for_swap(self, out_total: int, in_alive: int) -> None:
+        """Sharded analogue of the base Trainer hook: a densify swap scales
+        both the per-device entry load and the exchange send load ~linearly
+        with the alive count, so both budgets grow with the swap instead of
+        dropping entries until the next adaptation readback."""
+        if not (out_total > in_alive > 0):
+            return
+        ratio = out_total / in_alive
+        chunk = self.settings.chunk
+        self._entry_cap_peak *= ratio
+        self._send_peak *= ratio
+        want_e = quantize_budget(
+            self._entry_cap_peak * self.ENTRY_CAP_HEADROOM, chunk, chunk * 8)
+        if self._gs_entry_cap is None or want_e > self._gs_entry_cap:
+            self._gs_entry_cap = want_e
+        want_s = quantize_budget(
+            self._send_peak * self.ENTRY_CAP_HEADROOM, chunk, chunk)
+        if self._gs_send_cap is None or want_s > self._gs_send_cap:
+            self._gs_send_cap = want_s
 
     def resume_from(self, scene, opt_state, iteration: int) -> None:
         super().resume_from(scene, opt_state, iteration)

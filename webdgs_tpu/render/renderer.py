@@ -39,9 +39,10 @@ def render_from_attrs(attrs: SplatAttrs, aux: SplatAux, img_w: int,
     splat attributes.  Differentiable w.r.t. ``attrs``.
 
     ``for_grad``: the gradient path wants the sort to carry the expansion-
-    slot payload (for the prefix-segment gradient reduction); forward-only
-    callers (viewer frames, evaluate) skip that payload and its post-sort
-    gather."""
+    slot payload (for the prefix-segment gradient reduction) but has no use
+    for the per-pixel n_contrib channel (only the importance replay reads
+    it); forward-only callers (viewer frames, evaluate) skip that payload
+    and its post-sort gather but keep n_contrib."""
     ntx, nty = binning_ops.tile_grid(img_w, img_h, settings)
     bins = binning_ops.bin_splats(
         aux, img_w, img_h, settings, capacity=entry_capacity,
@@ -51,7 +52,8 @@ def render_from_attrs(attrs: SplatAttrs, aux: SplatAux, img_w: int,
         entry_source=bins.entry_source, gauss_counts=bins.gauss_counts,
         expansion_capacity=bins.capacity)
     out = raster_ops.rasterize_tiles(attrs16, bins.tile_offsets,
-                                     ntx, nty, settings)
+                                     ntx, nty, settings,
+                                     not for_grad)
     return out, bins
 
 

