@@ -43,8 +43,9 @@ def main():
     _ = float(jnp.sum(sc.means))
     print(f"entries: {int(m['tile_entries'])} visible: {int(m['visible'])}",
           flush=True)
-    # adaptive capacity like the Trainer: 1.5x observed entries
-    cap = max(-int(-float(m['tile_entries']) * 1.5 // s.chunk) * s.chunk,
+    # adaptive capacity like the Trainer: 1.2x observed entries
+    # (Trainer.ENTRY_CAP_HEADROOM)
+    cap = max(-int(-float(m['tile_entries']) * 1.2 // s.chunk) * s.chunk,
               s.chunk * 8)
     # donated steady-state loop, like the Trainer's step jit: one live copy
     # of params+moments (~700 MB at 1M) instead of input+output
