@@ -1,11 +1,15 @@
 """Trustworthy device-time measurement for jitted stages.
 
 Methodology pitfalls this fixes (learned the hard way on the tunneled TPU):
-  * a synchronous scalar readback costs ~25 ms through the tunnel — timing
-    must use block_until_ready on a device value, never float();
   * chained anti-CSE salting must touch EVERY input leaf (including integer
     ones, via a data-dependent zero) or XLA hoists the unsalted subgraph out
-    of the chain and the stage measures only a fraction of itself.
+    of the chain and the stage measures only a fraction of itself;
+  * ``block_until_ready`` through the tunnel NO LONGER waits for execution
+    (measured 2026-08-19: an 8192^3 matmul "completed" in 37 us) — the only
+    hard sync is a value readback (``float()``), which itself costs ~25 ms
+    of tunnel latency.  Timing therefore runs the salted chain at TWO chain
+    lengths and reports the slope (t_long - t_short)/(r_long - r_short):
+    the readback and dispatch constants cancel exactly.
 """
 
 import time
@@ -26,31 +30,47 @@ def _salt_tree(tree, salt):
 
 
 def _probe(tree):
-    """A tiny scalar data-dependent on (a few elements of) every leaf."""
+    """A scalar data-dependent on EVERY element of every leaf, through a
+    nonlinearity.  A few-element probe is not enough: XLA's algebraic
+    simplifier sinks slices through linear ops (slice(dot) -> dot(slice),
+    slice(gather) -> gather(slice)) and DCEs the rest of the stage — an
+    8192^3 matmul "measured" 0.5 ms that way (2026-08-19).  ``abs`` blocks
+    the linearity sinking at one cheap fused pass."""
     acc = jnp.float32(0)
     for x in jax.tree.leaves(tree):
         if hasattr(x, "dtype"):
-            acc = acc + jnp.sum(x.ravel()[:2].astype(jnp.float32))
+            acc = acc + jnp.sum(jnp.abs(x.astype(jnp.float32)))
     return acc
 
 
 def measure(stage, args, r=32, reps=2):
-    """Median per-iteration ms of ``stage(*salted_args)`` chained r times
-    inside one jit.  ``stage`` takes the (salted) args tuple."""
+    """Best per-iteration ms of ``stage(*salted_args)`` chained inside one
+    jit, as the slope between an ``r``-long and an ``r//4``-long chain (the
+    tunnel's readback/dispatch constants cancel; see module docstring).
+    ``stage`` takes the (salted) args tuple."""
 
-    @jax.jit
-    def run(args):
-        acc = jnp.float32(0)
-        for _ in range(r):
-            out = stage(*_salt_tree(args, acc * 1e-30))
-            acc = acc + _probe(out)
-        return acc
+    def chain(n):
+        @jax.jit
+        def run(args):
+            acc = jnp.float32(0)
+            for _ in range(n):
+                out = stage(*_salt_tree(args, acc * 1e-30))
+                acc = acc + _probe(out)
+            return acc
+        return run
 
-    out = run(args)
-    jax.block_until_ready(out)
+    r_short = max(r // 4, 1)
+    long_run, short_run = chain(r), chain(r_short)
+
+    def timed(run):
+        t0 = time.perf_counter()
+        float(run(args))  # value readback: the only hard sync on the tunnel
+        return time.perf_counter() - t0
+
+    timed(long_run)  # compile + warm
+    timed(short_run)
     times = []
     for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(args))
-        times.append((time.perf_counter() - t0) / r * 1e3)
+        times.append((timed(long_run) - timed(short_run))
+                     / (r - r_short) * 1e3)
     return min(times)

@@ -158,21 +158,27 @@ def expand_entries(aux: SplatAux, ntx: int, e_cap: int):
     total = cum_incl[-1]
 
     # entry -> gaussian, then one row-gather of the packed per-Gaussian
-    # binning fields
+    # binning fields.  THREE words instead of five: every (E, c) gather
+    # output is lane-padded to 128 on TPU (~400 MB of phantom tile traffic
+    # at 786k entries), and XLA's consumer fusions re-read that padded
+    # array once per output — so the base tile id and depth pre-combine
+    # into the key's own layout (tile arithmetic only ever ADDS whole
+    # tile steps, i.e. multiples of 1<<16, on top) and the whole per-entry
+    # chain below produces ONE output, the sort key.
     g = _repeat_ids(counts, e_cap)
+    base_tile = (aux.tile_min[:, 1] * ntx
+                 + aux.tile_min[:, 0]).astype(jnp.uint32)
     fields = jnp.stack([
+        ((base_tile << 16) | _ordered_depth16(aux.depth)).astype(jnp.int32),
         offsets,
-        aux.tile_min[:, 0],
-        aux.tile_min[:, 1],
         aux.tile_dims[:, 0],
-        _ordered_depth16(aux.depth).astype(jnp.int32),
-    ], axis=1)  # (N, 5)
-    ef = fields[g]  # (E, 5)
+    ], axis=1)  # (N, 3)
+    ef = fields[g]  # (E, 3)
 
     e_idx = jnp.arange(e_cap, dtype=jnp.int32)
     valid = e_idx < total
-    slot = e_idx - ef[:, 0]
-    tiles_x = jnp.maximum(ef[:, 3], 1)  # repeat pads with the last gaussian,
+    slot = e_idx - ef[:, 1]
+    tiles_x = jnp.maximum(ef[:, 2], 1)  # repeat pads with the last gaussian,
     # which may have degenerate dims.  slot // tiles_x via f32 reciprocal:
     # XLA expands i32 division bit-serially on the VPU (~2.5 ms at 786k
     # entries on a v5e chip); both operands are < 2^13 (<= 2048 tiles per
@@ -185,12 +191,11 @@ def expand_entries(aux: SplatAux, ntx: int, e_cap: int):
     under = r < 0
     q = q + over.astype(jnp.int32) - under.astype(jnp.int32)
     r = (r - jnp.where(over, tiles_x, 0) + jnp.where(under, tiles_x, 0))
-    tx = ef[:, 1] + r
-    ty = ef[:, 2] + q
-    tile = (ty * ntx + tx).astype(jnp.uint32)
     # the reference's combined key (tiled-forward.wgsl:133-136), without its
     # +1 tile bias: invalid entries get the all-ones key and sort last
-    key = jnp.where(valid, (tile << 16) | ef[:, 4].astype(jnp.uint32),
+    key = jnp.where(valid,
+                    ef[:, 0].astype(jnp.uint32)
+                    + ((q * ntx + r).astype(jnp.uint32) << 16),
                     jnp.uint32(0xFFFFFFFF))
     return key, g, counts, total, keep
 
