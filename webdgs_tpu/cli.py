@@ -98,7 +98,7 @@ def _settings(args):
 
 def cmd_view(args):
     from webdgs_tpu.io.ply import load_point_cloud
-    from webdgs_tpu.render.viewer import render_orbit
+    from webdgs_tpu.render.viewer import frames_to_video, render_orbit
 
     scene = load_point_cloud(args.scene)
     print(f"loaded {int(scene.num_alive())} points, sh_deg={scene.sh_deg}")
@@ -106,6 +106,9 @@ def cmd_view(args):
                          width=args.width, height=args.height,
                          settings=_settings(args), radius=args.radius)
     print(f"wrote {len(paths)} frames to {args.out}")
+    if args.video:
+        out = frames_to_video(paths, args.video, fps=args.fps)
+        print(f"encoded {out}")
 
 
 def _build_trainer(args):
@@ -309,6 +312,10 @@ def build_parser():
     v.add_argument("--out", default="frames")
     v.add_argument("--orbit", type=int, default=24)
     v.add_argument("--radius", type=float, default=None)
+    v.add_argument("--video", default=None, metavar="PATH",
+                   help="also encode the frames (.gif via PIL; other "
+                        "extensions via ffmpeg when available)")
+    v.add_argument("--fps", type=int, default=12)
     _add_common_render_args(v)
     v.set_defaults(fn=cmd_view)
 

@@ -184,3 +184,34 @@ def render_orbit(scene: GaussianScene, out_dir: str | os.PathLike,
         save_png(p, np.asarray(img))
         paths.append(p)
     return paths
+
+
+def frames_to_video(frame_paths: list[str], out_path: str | os.PathLike,
+                    fps: int = 12) -> str:
+    """Encode rendered frames into a video file.
+
+    ``.gif`` encodes with PIL (always available); any other extension is
+    handed to ``ffmpeg`` when present, else falls back to ``<out>.gif``.
+    The reference's viewer is live-only (rAF loop, src/main.ts:537-608) —
+    this is the headless counterpart for sharing a turntable capture.
+    """
+    out_path = str(out_path)
+    if not frame_paths:
+        raise ValueError("no frames to encode")
+    if not out_path.lower().endswith(".gif"):
+        import shutil
+        import subprocess
+        if shutil.which("ffmpeg"):
+            pattern = os.path.join(os.path.dirname(frame_paths[0]),
+                                   "frame_%04d.png")
+            subprocess.run(
+                ["ffmpeg", "-y", "-loglevel", "error", "-framerate", str(fps),
+                 "-i", pattern, "-pix_fmt", "yuv420p", out_path], check=True)
+            return out_path
+        out_path = os.path.splitext(out_path)[0] + ".gif"
+    from PIL import Image
+    frames = [Image.open(p).convert("P", palette=Image.ADAPTIVE)
+              for p in frame_paths]
+    frames[0].save(out_path, save_all=True, append_images=frames[1:],
+                   duration=max(1, round(1000 / fps)), loop=0)
+    return out_path
