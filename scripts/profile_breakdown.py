@@ -109,7 +109,7 @@ def main():
     rec("bin/expand(keys)", lambda a: B.expand_entries(a, ntx, cap), (aux,))
 
     def expand_sort(a):
-        key, g, counts, total, keep = B.expand_entries(a, ntx, cap)
+        key, g, counts, total, keep, _ = B.expand_entries(a, ntx, cap)
         source = jnp.arange(cap, dtype=jnp.int32)
         return jax.lax.sort((key, g, source), num_keys=1)
 

@@ -115,14 +115,14 @@ def main():
 
     def stage_grads(params, salt):
         p2 = {**params, "means": params["means"] + salt}
-        img, d_params, aux = compute_param_grads(
+        img, d_params, aux, _ = compute_param_grads(
             scene.with_params(p2), cam, target, w, h, cfg, s,
             parity_sh=True, entry_capacity=cap)
         return d_params
 
     def stage_full(params, salt):
         p2 = {**params, "means": params["means"] + salt}
-        img, d_params, aux = compute_param_grads(
+        img, d_params, aux, _ = compute_param_grads(
             scene.with_params(p2), cam, target, w, h, cfg, s,
             parity_sh=True, entry_capacity=cap)
         new_params, new_opt = adam_step(p2, d_params, opt0, hp, aux.num_tiles)

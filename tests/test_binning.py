@@ -98,3 +98,60 @@ def test_binning_invariants(seed, n, w, h, capacity, with_source):
             assert g_off[g] <= src[k] < g_off[g] + kept_counts[g]
     else:
         assert bins.entry_source is None and bins.gauss_counts is None
+
+
+@pytest.mark.parametrize("seed,n,w,h", [(0, 300, 96, 64), (1, 120, 64, 64)])
+def test_tile_cull_image_identical(seed, n, w, h):
+    """The exact per-(gaussian, tile) alpha cull (settings.tile_cull) must
+    not change the rendered image or its gradients: culled pairs have
+    alpha < alpha_min at every pixel of their tile, which the rasterizer's
+    mask already zeroes (reference parity: the SnugBox rect binning,
+    tiled-forward.wgsl:298-354, merely over-covers)."""
+    import jax
+    import jax.numpy as jnp
+
+    from webdgs_tpu.ops import rasterize as raster_ops
+    from webdgs_tpu.render.renderer import render_from_attrs
+
+    settings_on = RenderSettings(chunk=128, tile_cull=True)
+    settings_off = RenderSettings(chunk=128, tile_cull=False)
+    attrs, aux = _project(n, seed, w, h, settings_on)
+    ntx, nty = tile_grid(w, h, settings_on)
+
+    def run(settings):
+        def f(a):
+            out, bins = render_from_attrs(a, aux, w, h, settings,
+                                          for_grad=True)
+            img = raster_ops.composite_background(
+                raster_ops.tiles_to_image(out, ntx, nty, w, h, settings),
+                settings)
+            return jnp.sum(jnp.sin(img * 3.0)), (img, bins)
+        (loss, (img, bins)), grads = jax.value_and_grad(f, has_aux=True)(
+            attrs)
+        return img, grads, bins
+
+    img_on, g_on, bins_on = run(settings_on)
+    img_off, g_off, bins_off = run(settings_off)
+
+    # something must actually be culled for this test to mean anything
+    assert int(bins_on.total_entries) < int(bins_off.total_entries)
+    np.testing.assert_allclose(np.asarray(img_on), np.asarray(img_off),
+                               atol=1e-6, rtol=1e-5)
+    # gradients: culling shifts entries across chunk boundaries, changing
+    # f32/bf16 accumulation order — f16-class noise relative to the leaf's
+    # own scale, same budget as the bf16x3 error tests
+    for a, b in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_off)):
+        b = np.asarray(b)
+        scale = max(float(np.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), b, rtol=2e-3,
+                                   atol=2e-4 * scale)
+
+    # the searchsorted tile ranges agree with a direct histogram of the
+    # surviving entries
+    offs = np.asarray(bins_on.tile_offsets)
+    gauss = np.asarray(bins_on.entry_gauss)
+    total = int(bins_on.total_entries)
+    counts = np.asarray(bins_on.tile_counts)
+    assert offs[-1] == total
+    np.testing.assert_array_equal(np.diff(offs), counts)
+    assert counts.sum() == total

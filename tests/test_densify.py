@@ -117,7 +117,9 @@ def test_importance_counts_match_bruteforce():
     # brute force from the oracle machinery: replay each pixel's tile prefix
     attrs, aux = project_gaussians(scene.params(), scene.alive, cam, w, h,
                                    scene.sh_deg, SETTINGS)
-    bins = binning_ops.bin_splats(aux, w, h, SETTINGS)
+    # attrs enables the tile cull, matching the binning render() used —
+    # n_contrib is a position within the CULLED tile range
+    bins = binning_ops.bin_splats(aux, w, h, SETTINGS, attrs=attrs)
     ntx, nty = binning_ops.tile_grid(w, h, SETTINGS)
     offs = np.asarray(bins.tile_offsets)
     eg = np.asarray(bins.entry_gauss)

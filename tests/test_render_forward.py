@@ -47,7 +47,10 @@ def test_forward_matches_reference(n, size, sh_deg):
 
     attrs, aux = project_gaussians(scene.params(), scene.alive, cam, w, h,
                                    scene.sh_deg, settings)
-    bins = binning_ops.bin_splats(aux, w, h, settings)
+    # attrs: the oracle replays the SAME (tile-culled) entry layout the
+    # production render used — n_contrib is a position within that layout
+    # (cull-on/off image equivalence is pinned in test_binning)
+    bins = binning_ops.bin_splats(aux, w, h, settings, attrs=attrs)
     ntx, nty = binning_ops.tile_grid(w, h, settings)
     np_attrs = {k: np.asarray(v) for k, v in attrs._asdict().items()}
     ref_img, ref_t, ref_nc = render_reference(

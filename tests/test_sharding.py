@@ -81,7 +81,7 @@ def test_dp_train_step_matches_single(mesh):
     grads = jax.tree.map(jnp.zeros_like, params)
     counts = jnp.zeros((scene.capacity,), jnp.int32)
     for i in range(d):
-        _, g, aux = compute_param_grads(
+        _, g, aux, _ = compute_param_grads(
             scene, cams[i], targets[i], w, h, cfg, SETTINGS,
             parity_sh=True)
         grads = jax.tree.map(jnp.add, grads, g)
@@ -315,7 +315,7 @@ def test_gs_train_step_2d_mesh(mesh):
     grads = jax.tree.map(jnp.zeros_like, params)
     counts = jnp.zeros((scene.capacity,), jnp.int32)
     for i in range(2):
-        _, g, aux = compute_param_grads(
+        _, g, aux, _ = compute_param_grads(
             scene, cams[i], targets[i], w, h, cfg, SETTINGS_EXACT,
             parity_sh=True)
         grads = jax.tree.map(jnp.add, grads, g)

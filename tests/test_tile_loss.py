@@ -110,7 +110,7 @@ def test_train_step_tile_path_matches_image_path():
     res = train_step(scene, opt, cam, target, img_w=w, img_h=h,
                      loss_cfg=cfg, hp=hp, settings=SETTINGS)
 
-    image, d_params, aux = compute_param_grads(
+    image, d_params, aux, _ = compute_param_grads(
         scene, cam, target, w, h, cfg, SETTINGS, parity_sh=True)
     ref_params, ref_opt = adam_step(scene.params(), d_params, opt, hp,
                                     aux.num_tiles)

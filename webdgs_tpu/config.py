@@ -69,6 +69,18 @@ class RenderSettings:
     # negligible for these kernels (their DMA pipelines hide it), and
     # grouping delays the output block's write-out.  Kept as a sweep knob.
     tiles_per_step: int = 1
+    # Entry chunks fetched per DMA in the rasterizer kernels.  Measured on
+    # a v5e chip at 786k entries (scripts/exp_bwd_ablate.py, low-opacity
+    # scene, no early exit): fwd/bwd 7.60/9.00 ms at gd=1, 7.81/9.54 at 2,
+    # 8.21/11.29 at 4, 10.40/16.23 at 8 — batching strictly HURTS.  The
+    # kernels are VPU-compute-bound (~15-20 (P,K) ops survive even with
+    # alpha/cumsum/dot stubs, ~1.1 us/chunk), so the 8 KB chunk DMAs
+    # already hide behind compute and grouping only adds VMEM pressure and
+    # a bigger unrolled body.  Kept as a sweep knob; the group path clamps
+    # the last window to the entry buffer and masks lanes below the
+    # group's nominal start, so no caller-side capacity alignment is
+    # required at any value.
+    dma_group: int = 1
     # Early-termination transmittance threshold. The reference skips a splat
     # once accumulated alpha exceeds 0.99 (tiled-rasterizer.wgsl:224), i.e.
     # T < 0.01.
@@ -93,6 +105,15 @@ class RenderSettings:
     # The compositing prefix always uses the exact hi+lo split (the 0/1
     # triangle factor is exact in bf16, so 2 passes suffice there).
     matmul_precision: str = "bf16x3"
+    # Cull (gaussian, tile) pairs whose maximum alpha over the tile's pixel
+    # box is provably < alpha_min (exact convex-quadratic min over the box,
+    # conservatively rounded).  The rasterizer's alpha_min mask already
+    # zeroes every pixel of such pairs, so the image and gradients are
+    # unchanged; the reference's SnugBox rect binning
+    # (tiled-forward.wgsl:298-354) over-covers by ~24% at the bench scene
+    # and every O(entries) stage (sort, gathers, kernels, adaptive
+    # capacity) shrinks with the cull.  Off = reference-exact rect binning.
+    tile_cull: bool = True
     # Exchange packed entry rows as f16 over ICI in the gaussian-sharded
     # paths (halves all_to_all bytes: 32B -> 16B per entry + 4B key).
     # Centers are encoded tile-relative before the cast so the f16 mantissa

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from webdgs_tpu.config import RenderSettings
-from webdgs_tpu.ops.projection import SplatAux
+from webdgs_tpu.ops.projection import SplatAttrs, SplatAux
 
 
 def tile_grid(img_w: int, img_h: int,
@@ -59,6 +59,11 @@ class Binning(NamedTuple):
     # index of each sorted slot, and the per-Gaussian valid entry counts
     entry_source: jax.Array | None  # (E,) i32 or None
     gauss_counts: jax.Array | None  # (N,) i32 or None
+    # pre-overflow-drop entry DEMAND: the sum of per-Gaussian kept counts
+    # (post-cull survivors when tile_cull is on) BEFORE the e_cap budget
+    # drops whole Gaussians.  total_entries saturates at <= capacity, so
+    # capacity adaptation must observe this instead to see real pressure.
+    expansion_entries: jax.Array | None = None
 
     @property
     def capacity(self) -> int:
@@ -141,63 +146,208 @@ def check_tile_key_limit(total_tiles: int) -> None:
             "increase tile size or shard the image")
 
 
-def expand_entries(aux: SplatAux, ntx: int, e_cap: int):
+CULL_POSITIONS = 64  # local rect positions covered by the cull bitmask
+
+
+def _floor_div_f32(num: jax.Array, den: jax.Array):
+    """Exact integer floor-divide via one f32 divide + correction (both
+    operands < 2^13; XLA's i32 division is bit-serial on the VPU)."""
+    q = jnp.floor(num.astype(jnp.float32)
+                  / den.astype(jnp.float32)).astype(jnp.int32)
+    r = num - q * den
+    over = r >= den
+    under = r < 0
+    q = q + over.astype(jnp.int32) - under.astype(jnp.int32)
+    r = r - jnp.where(over, den, 0) + jnp.where(under, den, 0)
+    return q, r
+
+
+def _cull_bitmask(aux: SplatAux, attrs: SplatAttrs,
+                  settings: RenderSettings):
+    """Per-Gaussian 64-bit mask of rect positions whose maximum alpha over
+    the tile's pixel box is provably < alpha_min (bit i = local position
+    i = q*tiles_x + r is culled).  All math is f32 on (N, 64) arrays —
+    O(N) work, one fusion, no per-entry gathers.  Gaussians with more than
+    64 rect positions (or a numerically non-convex conic) get an all-zero
+    mask: never culled, always safe."""
+    det = jax.lax.stop_gradient
+    conic = det(attrs.conic)
+    ca, cb, cc = conic[:, 0:1], conic[:, 1:2], conic[:, 2:3]  # (N, 1)
+    op = det(attrs.opacity)
+    center = det(attrs.center_px)
+    tw, th = settings.tile_w, settings.tile_h
+
+    # cull iff qmin > qthr = 2 ln(op / alpha_min), rounded up for safety
+    qthr = (2.0 * jnp.log(jnp.maximum(op, 1e-12) / settings.alpha_min)
+            * (1.0 + 1e-5) + 1e-4)[:, None]  # (N, 1)
+
+    pos = jnp.arange(CULL_POSITIONS, dtype=jnp.int32)[None, :]  # (1, R)
+    tiles_x = jnp.maximum(aux.tile_dims[:, 0:1], 1)  # (N, 1)
+    q_loc, r_loc = _floor_div_f32(pos, tiles_x)  # (N, R)
+    eligible = (pos < aux.num_tiles[:, None]) & \
+        (aux.num_tiles[:, None] <= CULL_POSITIONS)
+
+    # tile pixel-center box relative to the splat center (continuous box
+    # bounds <= any pixel center's q: conservative)
+    x0 = ((aux.tile_min[:, 0:1] + r_loc) * tw).astype(jnp.float32) \
+        + 0.5 - center[:, 0:1]
+    y0 = ((aux.tile_min[:, 1:2] + q_loc) * th).astype(jnp.float32) \
+        + 0.5 - center[:, 1:2]
+    x1 = x0 + (tw - 1)
+    y1 = y0 + (th - 1)
+    inside = (x0 <= 0.0) & (x1 >= 0.0) & (y0 <= 0.0) & (y1 >= 0.0)
+
+    # exact min of the convex quadratic over the box: interior (0) or one
+    # of the four edges, each a 1D quadratic clamped to its segment
+    def edge_x(dxf):
+        dy = jnp.clip(-cb * dxf / jnp.maximum(cc, 1e-12), y0, y1)
+        return (ca * dxf + 2.0 * cb * dy) * dxf + cc * dy * dy
+
+    def edge_y(dyf):
+        dx = jnp.clip(-cb * dyf / jnp.maximum(ca, 1e-12), x0, x1)
+        return (ca * dx + 2.0 * cb * dyf) * dx + cc * dyf * dyf
+
+    qmin = jnp.minimum(jnp.minimum(edge_x(x0), edge_x(x1)),
+                       jnp.minimum(edge_y(y0), edge_y(y1)))
+    qmin = jnp.where(inside, 0.0, qmin) * (1.0 - 2.0 ** -12)
+    convex = (ca > 0.0) & (cc > 0.0) & (ca * cc - cb * cb > 0.0)
+    culled = eligible & convex & (qmin > qthr)
+
+    # SURVIVOR mask: rect positions that stay.  Gaussians beyond the mask
+    # width (num_tiles > 64) keep their full rect (identity mapping).
+    in_rect = pos < aux.num_tiles[:, None]
+    bit = (in_rect & ~culled).astype(jnp.uint32)
+    # bits are unique per lane, so a sum IS the bitwise OR
+    w = bit << (pos % 32).astype(jnp.uint32)
+    lo = jnp.sum(jnp.where(pos < 32, w, 0), axis=1).astype(jnp.uint32)
+    hi = jnp.sum(jnp.where(pos >= 32, w, 0), axis=1).astype(jnp.uint32)
+
+    n_surv = (jax.lax.population_count(lo)
+              + jax.lax.population_count(hi)).astype(jnp.int32)
+    small = aux.num_tiles <= CULL_POSITIONS
+    surv_counts = jnp.where(small, n_surv, aux.num_tiles)
+    # identity masks for large rects keep the per-entry bit-select total
+    ones = jnp.uint32(0xFFFFFFFF)
+    lo = jnp.where(small, lo, ones)
+    hi = jnp.where(small, hi, ones)
+    return (jax.lax.bitcast_convert_type(lo, jnp.int32),
+            jax.lax.bitcast_convert_type(hi, jnp.int32),
+            surv_counts)
+
+
+def _select_nth_set_bit(lo: jax.Array, hi: jax.Array, s: jax.Array):
+    """Position of the (s+1)-th set bit of the 64-bit mask (hi:lo), via a
+    popcount binary search — vectorized, ~30 VPU ops, no gathers.  Callers
+    guarantee s < popcount(mask).  All-ones masks yield the identity."""
+    pc_lo = jax.lax.population_count(lo).astype(jnp.int32)
+    use_hi = s >= pc_lo
+    m = jnp.where(use_hi, hi, lo)
+    s32 = jnp.where(use_hi, s - pc_lo, s)
+    p = jnp.where(use_hi, jnp.int32(32), jnp.int32(0))
+    for width in (16, 8, 4, 2, 1):
+        mask_w = jnp.uint32((1 << width) - 1)
+        c = jax.lax.population_count(m & mask_w).astype(jnp.int32)
+        go_hi = s32 >= c
+        s32 = s32 - jnp.where(go_hi, c, 0)
+        p = p + jnp.where(go_hi, width, 0)
+        m = jnp.where(go_hi, m >> jnp.uint32(width), m)
+    return p
+
+
+def expand_entries(aux: SplatAux, ntx: int, e_cap: int,
+                   attrs: SplatAttrs | None = None,
+                   settings: RenderSettings | None = None):
     """Ragged expansion of per-Gaussian tile rects into per-entry sort keys,
     in expansion (gaussian-grouped) order — the analogue of the reference's
     emit_main (tiled-forward.wgsl:298-354).
 
-    Returns (key, g, counts, total): the 32-bit (tile<<16)|depth16 key and
-    gaussian index per expansion slot, the per-Gaussian kept entry counts,
-    and the total real entry count.  Gaussians that would overflow ``e_cap``
-    are dropped whole (the reference's maxTileEntries budget)."""
-    counts0 = aux.num_tiles
-    keep = jnp.cumsum(counts0) <= e_cap
+    Returns (key, g, counts, total, keep, demand): the 32-bit
+    (tile<<16)|depth16 key and gaussian index per expansion slot, the
+    per-Gaussian kept entry counts, the total real entry count, the
+    per-Gaussian keep mask, and the pre-drop entry demand (see
+    ``Binning.expansion_entries``).  Gaussians that would overflow
+    ``e_cap`` are dropped whole (the reference's maxTileEntries budget).
+
+    When ``attrs`` is given and ``settings.tile_cull`` is on, (gaussian,
+    tile) pairs whose maximum alpha over the tile's pixel box is provably
+    below alpha_min are culled — the expansion emits ONLY the survivors,
+    so the entry capacity itself (and with it the sort, the pack gathers,
+    and the gradient segment-reduce) shrinks, not just the kernel
+    windows.  The rasterizer's alpha_min mask already zeroes every pixel
+    of culled pairs, so the image and its gradients are unchanged — the
+    reference's rect binning (SnugBox, tiled-forward.wgsl:298-354) simply
+    over-covers: ~24% of the bench scene's entries fail this test
+    (RESULTS.md).  The test is evaluated per GAUSSIAN over its local rect
+    (f32-exact convex-quadratic min per tile box, :func:`_cull_bitmask` —
+    O(N*64) work in one fusion); each entry maps its survivor slot back
+    to a rect position by a popcount binary search over the 64-bit
+    survivor mask (a per-ENTRY quadratic evaluation measured +4 ms: its
+    7-word gather's lane-padded output was re-read by every consumer
+    fusion).  Rects wider than 64 positions keep their full rect (the
+    mask is identity there) — always safe."""
+    cull_on = attrs is not None and settings is not None and settings.tile_cull
+
+    if cull_on:
+        mask_lo, mask_hi, counts0 = _cull_bitmask(aux, attrs, settings)
+    else:
+        counts0 = aux.num_tiles
+    cum_all = jnp.cumsum(counts0)
+    demand = cum_all[-1]  # pre-overflow-drop entry demand (post-cull)
+    keep = cum_all <= e_cap
     counts = jnp.where(keep, counts0, 0)
     cum_incl = jnp.cumsum(counts)
     offsets = cum_incl - counts
-    total = cum_incl[-1]
+    total_expansion = cum_incl[-1]
 
     # entry -> gaussian, then one row-gather of the packed per-Gaussian
-    # binning fields.  THREE words instead of five: every (E, c) gather
-    # output is lane-padded to 128 on TPU (~400 MB of phantom tile traffic
-    # at 786k entries), and XLA's consumer fusions re-read that padded
-    # array once per output — so the base tile id and depth pre-combine
-    # into the key's own layout (tile arithmetic only ever ADDS whole
-    # tile steps, i.e. multiples of 1<<16, on top) and the whole per-entry
-    # chain below produces ONE output, the sort key.
+    # binning fields.  THREE words instead of five (FIVE with the cull
+    # bitmask): every (E, c) gather output is lane-padded to 128 on TPU
+    # (~400 MB of phantom tile traffic at 786k entries), and XLA's
+    # consumer fusions re-read that padded array once per output — so the
+    # base tile id and depth pre-combine into the key's own layout (tile
+    # arithmetic only ever ADDS whole tile steps, i.e. multiples of 1<<16,
+    # on top) and the whole per-entry chain below produces ONE output, the
+    # sort key.
     g = _repeat_ids(counts, e_cap)
     base_tile = (aux.tile_min[:, 1] * ntx
                  + aux.tile_min[:, 0]).astype(jnp.uint32)
-    fields = jnp.stack([
+    words = [
         ((base_tile << 16) | _ordered_depth16(aux.depth)).astype(jnp.int32),
         offsets,
         aux.tile_dims[:, 0],
-    ], axis=1)  # (N, 3)
-    ef = fields[g]  # (E, 3)
+    ]
+    if cull_on:
+        words += [mask_lo, mask_hi]
+    fields = jnp.stack(words, axis=1)  # (N, 3 or 5)
+    ef = fields[g]  # (E, .)
 
     e_idx = jnp.arange(e_cap, dtype=jnp.int32)
-    valid = e_idx < total
+    valid = e_idx < total_expansion
     slot = e_idx - ef[:, 1]
+    if cull_on:
+        # survivor slot -> original rect position via the bitmask
+        pos = _select_nth_set_bit(ef[:, 3].astype(jnp.uint32),
+                                  ef[:, 4].astype(jnp.uint32),
+                                  jnp.clip(slot, 0, None))
+        # large rects (identity mask, num_tiles may exceed 64): p == slot
+        pos = jnp.where(slot >= CULL_POSITIONS, slot, pos)
+    else:
+        pos = slot
     tiles_x = jnp.maximum(ef[:, 2], 1)  # repeat pads with the last gaussian,
-    # which may have degenerate dims.  slot // tiles_x via f32 reciprocal:
+    # which may have degenerate dims.  pos // tiles_x via f32 reciprocal:
     # XLA expands i32 division bit-serially on the VPU (~2.5 ms at 786k
     # entries on a v5e chip); both operands are < 2^13 (<= 2048 tiles per
     # gaussian, tiled-forward.wgsl:275), so one f32 divide is within 1 of
     # the true quotient and a single correction step makes it exact.
-    q = jnp.floor(slot.astype(jnp.float32)
-                  / tiles_x.astype(jnp.float32)).astype(jnp.int32)
-    r = slot - q * tiles_x
-    over = r >= tiles_x
-    under = r < 0
-    q = q + over.astype(jnp.int32) - under.astype(jnp.int32)
-    r = (r - jnp.where(over, tiles_x, 0) + jnp.where(under, tiles_x, 0))
+    q, r = _floor_div_f32(pos, tiles_x)
+
     # the reference's combined key (tiled-forward.wgsl:133-136), without its
     # +1 tile bias: invalid entries get the all-ones key and sort last
     key = jnp.where(valid,
                     ef[:, 0].astype(jnp.uint32)
                     + ((q * ntx + r).astype(jnp.uint32) << 16),
                     jnp.uint32(0xFFFFFFFF))
-    return key, g, counts, total, keep
+    return key, g, counts, total_expansion, keep, demand
 
 
 def aligned_tile_layout(tile_counts: jax.Array, chunk: int):
@@ -239,36 +389,54 @@ def realign_sorted(tile_offsets, aligned_off, unaligned_off, tile_counts,
 def bin_splats(aux: SplatAux, img_w: int, img_h: int,
                settings: RenderSettings,
                capacity: int | None = None,
-               with_source: bool | None = None) -> Binning:
+               with_source: bool | None = None,
+               attrs: SplatAttrs | None = None) -> Binning:
+    """``attrs``: when given (and ``settings.tile_cull``), enables the
+    exact per-(gaussian, tile) alpha cull in :func:`expand_entries` —
+    image-identical, ~20-24% fewer entries at the bench scene."""
     n = aux.num_tiles.shape[0]
     e_cap = capacity if capacity is not None else entry_capacity(n, settings)
     ntx, nty = tile_grid(img_w, img_h, settings)
     total_tiles = ntx * nty
     check_tile_key_limit(total_tiles)
 
-    key, g, counts, total, keep = expand_entries(aux, ntx, e_cap)
+    key, g, counts, total, keep, total_exp = expand_entries(
+        aux, ntx, e_cap, attrs=attrs, settings=settings)
+    culling = attrs is not None and settings.tile_cull
 
     if with_source is None:
         with_source = e_cap >= settings.grad_reduce_threshold
 
     # --- ONE depth sort; the sorted order is the final entry layout (the
     # reference's radix_sort.wgsl + atomicMin tile-ranges pass collapse to
-    # this sort + the histogram cumsum below) ---
+    # this sort + the tile ranges below) ---
     if with_source:
         source = jnp.arange(e_cap, dtype=jnp.int32)
-        _, sorted_gauss, sorted_source = jax.lax.sort((key, g, source),
-                                                      num_keys=1)
+        sorted_key, sorted_gauss, sorted_source = jax.lax.sort(
+            (key, g, source), num_keys=1)
     else:
-        _, sorted_gauss = jax.lax.sort((key, g), num_keys=1)
+        sorted_key, sorted_gauss = jax.lax.sort((key, g), num_keys=1)
         sorted_source = None
 
-    # --- unaligned tile ranges from the O(N) corner histogram; the
-    # rasterizer kernels window over them chunk-aligned ---
-    tile_counts = _tile_histogram(aux, keep, ntx, nty)
-    tile_offsets = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32),
-        jnp.cumsum(tile_counts).astype(jnp.int32),
-    ])
+    if culling:
+        # --- tile ranges from the sorted keys (the reference's tile-ranges
+        # pass, tile-ranges.wgsl, as one vectorized binary search): the
+        # corner histogram counts rect AREAS, which per-pair culling
+        # invalidates.  Valid keys are < total_tiles<<16 <= the sentinel,
+        # so offsets[T] lands on the surviving-entry count. ---
+        bounds = (jnp.arange(total_tiles + 1, dtype=jnp.uint32)
+                  << 16).astype(jnp.uint32)
+        tile_offsets = jnp.searchsorted(sorted_key, bounds,
+                                        side="left").astype(jnp.int32)
+        tile_counts = tile_offsets[1:] - tile_offsets[:-1]
+    else:
+        # --- unaligned tile ranges from the O(N) corner histogram; the
+        # rasterizer kernels window over them chunk-aligned ---
+        tile_counts = _tile_histogram(aux, keep, ntx, nty)
+        tile_offsets = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            jnp.cumsum(tile_counts).astype(jnp.int32),
+        ])
 
     e_idx = jnp.arange(e_cap, dtype=jnp.int32)
     return Binning(
@@ -279,4 +447,5 @@ def bin_splats(aux: SplatAux, img_w: int, img_h: int,
         total_entries=total,
         entry_source=sorted_source,
         gauss_counts=counts if with_source else None,
+        expansion_entries=total_exp,
     )

@@ -235,7 +235,10 @@ def view_importance_counts(scene_params, alive, sh_deg, camera: Camera,
     attrs, aux = project_gaussians(scene_params, alive, camera, img_w, img_h,
                                    sh_deg, settings)
     ntx, nty = binning_ops.tile_grid(img_w, img_h, settings)
-    bins = binning_ops.bin_splats(aux, img_w, img_h, settings)
+    # attrs enables the exact tile cull (binning.expand_entries): culled
+    # pairs have alpha < alpha_min at every pixel, so they are never
+    # contributors — n_contrib and the replayed counts are unchanged
+    bins = binning_ops.bin_splats(aux, img_w, img_h, settings, attrs=attrs)
     attrs16 = raster_ops.pack_entry_attrs(attrs, bins.entry_gauss,
                                           bins.entry_valid, settings)
     out = raster_ops.rasterize_tiles(attrs16, bins.tile_offsets, ntx, nty,

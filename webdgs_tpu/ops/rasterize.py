@@ -107,6 +107,26 @@ def _window_mask(base, uo, cnt, c, lane, k):
     return (sl >= uo) & (sl < uo + cnt)
 
 
+def _group_start(base, cg, gd, k, e_pad):
+    """HBM start of DMA group ``cg`` (gd chunks of k lanes): the nominal
+    start ``base + cg*gd*k``, clamped so the transfer never reads past the
+    entry buffer.  When clamped, the window's leading lanes repeat slots a
+    previous group already processed — the group mask
+    (:func:`_group_mask`) excludes them, so no caller-side capacity
+    alignment is needed."""
+    return jnp.minimum(base + cg * gd * k, e_pad - gd * k)
+
+
+def _group_mask(cs, gstart, uo, cnt, j, lane, k):
+    """(1, K) validity of sub-chunk ``j`` of a DMA group loaded from
+    ``cs``: inside the tile's real entry range AND at-or-above the group's
+    nominal start ``gstart`` (lanes below it belong to the previous group;
+    they appear here only when the group window was clamped at the buffer
+    end)."""
+    sl = cs + j * k + lane
+    return (sl >= uo) & (sl < uo + cnt) & (sl >= gstart)
+
+
 def _chunk_alpha(scr, pxf, pyf, settings: RenderSettings, mask=None):
     """Per-(pixel, splat) alpha for one chunk.
 
@@ -207,11 +227,12 @@ def _pixel_coords(t, ntx, settings: RenderSettings):
 
 
 def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
-                ntx: int, settings: RenderSettings,
+                ntx: int, e_pad: int, settings: RenderSettings,
                 track_ncontrib: bool = True):
     p = settings.tile_px
     k = settings.chunk
     g = settings.tiles_per_step
+    gd = min(settings.dma_group, e_pad // k)
     log_t_min = math.log(settings.t_threshold)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
@@ -224,71 +245,77 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
     def tile_body(i, _):
         t = pid * g + i
         base, uo, cnt, nch = _tile_window(offsets_ref, t, k)
+        ngr = (nch + gd - 1) // gd  # DMA groups of gd chunks
         pxf, pyf = _pixel_coords(t, ntx, settings)
 
-        def chunk_dma(c, slot):
-            start = pl.multiple_of(base + c * k, k)
+        def group_dma(cg, slot):
+            cs = pl.multiple_of(_group_start(base, cg, gd, k, e_pad), k)
             return pltpu.make_async_copy(
-                attrs_ref.at[:, pl.ds(start, k)], scr.at[slot], sem.at[slot])
+                attrs_ref.at[:, pl.ds(cs, gd * k)], scr.at[slot],
+                sem.at[slot])
 
-        @pl.when(nch > 0)
+        @pl.when(ngr > 0)
         def _():
-            chunk_dma(0, 0).start()
+            group_dma(0, 0).start()
 
         def body(carry):
-            c, log_t_un, log_t_gated, acc, nmax = carry
-            slot = c % 2
+            cg, log_t_un, log_t_gated, acc, nmax = carry
+            slot = cg % 2
 
-            # prefetch the next chunk while this one is processed
-            @pl.when(c + 1 < nch)
+            # prefetch the next group while this one is processed
+            @pl.when(cg + 1 < ngr)
             def _():
-                chunk_dma(c + 1, (c + 1) % 2).start()
+                group_dma(cg + 1, (cg + 1) % 2).start()
 
-            chunk_dma(c, slot).wait()
+            group_dma(cg, slot).wait()
+            cs = _group_start(base, cg, gd, k, e_pad)
+            gstart = base + cg * gd * k
 
-            alpha, _, _, _, _, _ = _chunk_alpha(
-                scr[slot], pxf, pyf, settings,
-                _window_mask(base, uo, cnt, c, lane, k))
-            alog = jnp.log1p(-alpha)
-            alog_incl = _lane_cumsum(alog, k)
-            t_excl = jnp.exp(alog_incl - alog + log_t_un)
-            incl = (t_excl >= settings.t_threshold).astype(jnp.float32)
-            w = alpha * t_excl * incl  # (P, K)
+            for j in range(gd):  # static unroll over the group's chunks
+                sub = scr[slot, :, j * k:(j + 1) * k]
+                alpha, _, _, _, _, _ = _chunk_alpha(
+                    sub, pxf, pyf, settings,
+                    _group_mask(cs, gstart, uo, cnt, j, lane, k))
+                alog = jnp.log1p(-alpha)
+                alog_incl = _lane_cumsum(alog, k)
+                t_excl = jnp.exp(alog_incl - alog + log_t_un)
+                incl = (t_excl >= settings.t_threshold).astype(jnp.float32)
+                w = alpha * t_excl * incl  # (P, K)
 
-            c4 = jnp.concatenate(
-                [scr[slot, ROW_R:ROW_B + 1, :],
-                 jnp.ones((1, k), jnp.float32)], axis=0)
-            acc = acc + _dot_general_tiered(
-                w, c4, (((1,), (1,)), ((), ())), settings)  # (P, 4)
+                c4 = jnp.concatenate(
+                    [sub[ROW_R:ROW_B + 1, :],
+                     jnp.ones((1, k), jnp.float32)], axis=0)
+                acc = acc + _dot_general_tiered(
+                    w, c4, (((1,), (1,)), ((), ())), settings)  # (P, 4)
 
-            log_t_un = log_t_un + alog_incl[:, k - 1:k]
-            log_t_gated = log_t_gated + jnp.sum(alog * incl, axis=1,
-                                                keepdims=True)
+                log_t_un = log_t_un + alog_incl[:, k - 1:k]
+                log_t_gated = log_t_gated + jnp.sum(alog * incl, axis=1,
+                                                    keepdims=True)
 
-            if track_ncontrib:
-                # 1-based position within the TILE's real range (window
-                # slots before uo are foreign and already masked to alpha 0)
-                pos = (base + c * k + lane - uo + 1).astype(jnp.float32)
-                contrib = (alpha > 0.0) & (incl > 0.0)
-                nmax = jnp.maximum(
-                    nmax, jnp.max(jnp.where(contrib, pos, 0.0), axis=1,
-                                  keepdims=True))
-            return c + 1, log_t_un, log_t_gated, acc, nmax
+                if track_ncontrib:
+                    # 1-based position within the TILE's real range (window
+                    # slots before uo are foreign, masked to alpha 0)
+                    pos = (cs + j * k + lane - uo + 1).astype(jnp.float32)
+                    contrib = (alpha > 0.0) & (incl > 0.0)
+                    nmax = jnp.maximum(
+                        nmax, jnp.max(jnp.where(contrib, pos, 0.0), axis=1,
+                                      keepdims=True))
+            return cg + 1, log_t_un, log_t_gated, acc, nmax
 
         def cond(carry):
-            c, log_t_un, *_ = carry
-            return (c < nch) & (jnp.max(log_t_un) >= log_t_min)
+            cg, log_t_un, *_ = carry
+            return (cg < ngr) & (jnp.max(log_t_un) >= log_t_min)
 
         zero_p1 = jnp.zeros((p, 1), jnp.float32)
         init = (jnp.int32(0), zero_p1, zero_p1,
                 jnp.zeros((p, 4), jnp.float32), zero_p1)
-        done_c, _, log_t_gated, acc, nmax = jax.lax.while_loop(cond, body,
+        done_g, _, log_t_gated, acc, nmax = jax.lax.while_loop(cond, body,
                                                                init)
 
         # a saturation early-exit may leave one prefetched DMA in flight
-        @pl.when(done_c < nch)
+        @pl.when(done_g < ngr)
         def _():
-            chunk_dma(done_c, done_c % 2).wait()
+            group_dma(done_g, done_g % 2).wait()
 
         out_ref[i, :, 0:4] = acc
         out_ref[i, :, OUT_T:OUT_T + 1] = jnp.exp(log_t_gated)
@@ -306,6 +333,7 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
     p = settings.tile_px
     k = settings.chunk
     gstep = settings.tiles_per_step
+    gd = min(settings.dma_group, e_pad // k)
     log_t_min = math.log(settings.t_threshold)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
@@ -316,6 +344,7 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
     def tile_body(i, _):
         t = pid * gstep + i
         base, uo, cnt, nch = _tile_window(offsets_ref, t, k)
+        ngr = (nch + gd - 1) // gd  # DMA groups of gd chunks
         skip = uo - base
         pxf, pyf = _pixel_coords(t, ntx, settings)
 
@@ -327,15 +356,21 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
         # the dT_final/da_j = -T_final/(1-a_j) term folds into the suffix
         suffix_extra = u_tot + g_t * t_final  # (P, 1)
 
-        def chunk_dma(c, slot):
-            start = pl.multiple_of(base + c * k, k)
+        # group windows are NEVER clamped here: _backward_impl pads the
+        # entry buffer (and sizes dout) by (gd-1)*k lanes, so the nominal
+        # group window [base + cg*gd*k, +gd*k) is always in-bounds and
+        # gradient groups write back at the same nominal start
+        def group_dma(cg, slot):
+            start = pl.multiple_of(base + cg * gd * k, k)
             return pltpu.make_async_copy(
-                attrs_ref.at[:, pl.ds(start, k)], scr.at[slot], sem.at[slot])
+                attrs_ref.at[:, pl.ds(start, gd * k)], scr.at[slot],
+                sem.at[slot])
 
-        def out_dma(c, slot):
-            start = pl.multiple_of(base + c * k, k)
+        def out_dma(cg, slot):
+            start = pl.multiple_of(base + cg * gd * k, k)
             return pltpu.make_async_copy(
-                dscr.at[slot], dout_ref.at[:, pl.ds(start, k)], dsem.at[slot])
+                dscr.at[slot], dout_ref.at[:, pl.ds(start, gd * k)],
+                dsem.at[slot])
 
         # the window's first chunk may be shared with the previous tile's last
         # chunk (skip > 0): read its current gradients and accumulate, so this
@@ -347,160 +382,179 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
             return pltpu.make_async_copy(
                 dout_ref.at[:, pl.ds(start, k)], rscr, rsem)
 
-        @pl.when(nch > 0)
+        @pl.when(ngr > 0)
         def _():
-            chunk_dma(0, 0).start()
+            group_dma(0, 0).start()
             rmw_dma().start()
 
         def body(carry):
-            c, log_t_un, cum_u = carry
-            slot = c % 2
+            cg, log_t_un, cum_u = carry
+            slot = cg % 2
 
-            @pl.when(c + 1 < nch)
+            @pl.when(cg + 1 < ngr)
             def _():
-                chunk_dma(c + 1, (c + 1) % 2).start()
+                group_dma(cg + 1, (cg + 1) % 2).start()
 
-            chunk_dma(c, slot).wait()
-            # the gradient scratch slot is reused every other chunk: make sure
+            group_dma(cg, slot).wait()
+            # the gradient scratch slot is reused every other group: make sure
             # its previous write-out has drained before overwriting
-            @pl.when(c >= 2)
+            @pl.when(cg >= 2)
             def _():
-                out_dma(c - 2, slot).wait()
+                out_dma(cg - 2, slot).wait()
 
-            alpha, g, dx, dy, u1, u2 = _chunk_alpha(scr[slot], pxf, pyf,
-                                                       settings,
-                                            _window_mask(base, uo, cnt, c, lane,
-                                                         k))
-            alog = jnp.log1p(-alpha)
-            alog_incl = _lane_cumsum(alog, k)
-            t_excl = jnp.exp(alog_incl - alog + log_t_un)
-            incl = (t_excl >= settings.t_threshold).astype(jnp.float32)
-            live = (alpha > 0.0).astype(jnp.float32) * incl
-            w = alpha * t_excl * incl
+            gstart = base + cg * gd * k
+            for j in range(gd):  # static unroll over the group's chunks
+                cj = slice(j * k, (j + 1) * k)
+                col = scr[slot, :, cj]
+                alpha, g, dx, dy, u1, u2 = _chunk_alpha(
+                    col, pxf, pyf, settings,
+                    _group_mask(gstart, gstart, uo, cnt, j, lane, k))
+                alog = jnp.log1p(-alpha)
+                alog_incl = _lane_cumsum(alog, k)
+                t_excl = jnp.exp(alog_incl - alog + log_t_un)
+                incl = (t_excl >= settings.t_threshold).astype(jnp.float32)
+                live = (alpha > 0.0).astype(jnp.float32) * incl
+                w = alpha * t_excl * incl
 
-            # gamma4[p, j] = sum_ch g4[p, ch] * c4[ch, j] — the contraction dim
-            # is only 4, so exact f32 VPU broadcast math beats any MXU tier
-            col = scr[slot]
-            gamma4 = (g4[:, 0:1] * col[ROW_R:ROW_R + 1, :]
-                      + g4[:, 1:2] * col[ROW_G:ROW_G + 1, :]
-                      + g4[:, 2:3] * col[ROW_B:ROW_B + 1, :]
-                      + g4[:, 3:4])  # (P, K); the alpha row of c4 is all-ones
+                # gamma4[p, j] = sum_ch g4[p, ch] * c4[ch, j] — contraction
+                # dim is only 4: exact f32 VPU broadcast beats any MXU tier
+                gamma4 = (g4[:, 0:1] * col[ROW_R:ROW_R + 1, :]
+                          + g4[:, 1:2] * col[ROW_G:ROW_G + 1, :]
+                          + g4[:, 2:3] * col[ROW_B:ROW_B + 1, :]
+                          + g4[:, 3:4])  # (P, K); alpha row of c4 is all-ones
 
-            u = gamma4 * w
-            u_incl = _lane_cumsum(u, k)
-            u_prefix = cum_u + u_incl  # inclusive, (P, K)
-            one_m_a = 1.0 - alpha
-            dl_da = (gamma4 * t_excl
-                     - (suffix_extra - u_prefix) / one_m_a) * live
+                u = gamma4 * w
+                u_incl = _lane_cumsum(u, k)
+                u_prefix = cum_u + u_incl  # inclusive, (P, K)
+                one_m_a = 1.0 - alpha
+                dl_da = (gamma4 * t_excl
+                         - (suffix_extra - u_prefix) / one_m_a) * live
 
-            op = scr[slot, ROW_OP:ROW_OP + 1, :]
-            unclamped = (op * g < settings.alpha_max).astype(jnp.float32)
-            dl_dg = dl_da * op * unclamped
-            d_op = jnp.sum(dl_da * g * unclamped, axis=0, keepdims=True)  # (1, K)
+                op = col[ROW_OP:ROW_OP + 1, :]
+                unclamped = (op * g < settings.alpha_max).astype(jnp.float32)
+                dl_dg = dl_da * op * unclamped
+                d_op = jnp.sum(dl_da * g * unclamped, axis=0,
+                               keepdims=True)  # (1, K)
 
-            # d color: dL/dc[j,ch] = sum_p g_ch[p] * w[p,j]
-            d_col = _dot_general_tiered(
-                gpix_ref[i, :, 0:3], w, (((0,), (0,)), ((), ())),
-                settings)  # (3, K)
+                # d color: dL/dc[j,ch] = sum_p g_ch[p] * w[p,j]
+                d_col = _dot_general_tiered(
+                    gpix_ref[i, :, 0:3], w, (((0,), (0,)), ((), ())),
+                    settings)  # (3, K)
 
-            q = dl_dg * (-0.5 * g)  # (P, K)
-            # power = dx*u1 + dy*u2 with u1 = ca dx + cb dy, u2 = cb dx +
-            # cc dy (already computed for alpha); d power/d center =
-            # -2*(u1, u2), and qx/qy fold the shared products once
-            qx = q * dx
-            qy = q * dy
-            d_cx = -2.0 * jnp.sum(q * u1, axis=0, keepdims=True)
-            d_cy = -2.0 * jnp.sum(q * u2, axis=0, keepdims=True)
-            d_ca = jnp.sum(qx * dx, axis=0, keepdims=True)
-            d_cb = 2.0 * jnp.sum(qx * dy, axis=0, keepdims=True)
-            d_cc = jnp.sum(qy * dy, axis=0, keepdims=True)
+                q = dl_dg * (-0.5 * g)  # (P, K)
+                # power = dx*u1 + dy*u2 with u1 = ca dx + cb dy, u2 = cb dx +
+                # cc dy (already computed for alpha); d power/d center =
+                # -2*(u1, u2), and qx/qy fold the shared products once
+                qx = q * dx
+                qy = q * dy
+                d_cx = -2.0 * jnp.sum(q * u1, axis=0, keepdims=True)
+                d_cy = -2.0 * jnp.sum(q * u2, axis=0, keepdims=True)
+                d_ca = jnp.sum(qx * dx, axis=0, keepdims=True)
+                d_cb = 2.0 * jnp.sum(qx * dy, axis=0, keepdims=True)
+                d_cc = jnp.sum(qy * dy, axis=0, keepdims=True)
 
-            dscr[slot, ROW_CX:ROW_CX + 1, :] = d_cx
-            dscr[slot, ROW_CY:ROW_CY + 1, :] = d_cy
-            dscr[slot, ROW_CA:ROW_CA + 1, :] = d_ca
-            dscr[slot, ROW_CB:ROW_CB + 1, :] = d_cb
-            dscr[slot, ROW_CC:ROW_CC + 1, :] = d_cc
-            dscr[slot, ROW_R:ROW_B + 1, :] = d_col
-            dscr[slot, ROW_OP:ROW_OP + 1, :] = d_op
-            dscr[slot, ROW_EX:NUM_ROWS, :] = jnp.zeros((NUM_ROWS - ROW_EX, k),
-                                                       jnp.float32)
+                dscr[slot, ROW_CX:ROW_CX + 1, cj] = d_cx
+                dscr[slot, ROW_CY:ROW_CY + 1, cj] = d_cy
+                dscr[slot, ROW_CA:ROW_CA + 1, cj] = d_ca
+                dscr[slot, ROW_CB:ROW_CB + 1, cj] = d_cb
+                dscr[slot, ROW_CC:ROW_CC + 1, cj] = d_cc
+                dscr[slot, ROW_R:ROW_B + 1, cj] = d_col
+                dscr[slot, ROW_OP:ROW_OP + 1, cj] = d_op
+                dscr[slot, ROW_EX:NUM_ROWS, cj] = jnp.zeros(
+                    (NUM_ROWS - ROW_EX, k), jnp.float32)
 
-            # accumulate into the shared boundary chunk (foreign slots of this
-            # tile carry exact zeros, so the add preserves the neighbor's
-            # gradients; on a fresh chunk skip == 0 selects the zeros)
-            @pl.when(c == 0)
+                log_t_un = log_t_un + alog_incl[:, k - 1:k]
+                cum_u = cum_u + u_incl[:, k - 1:k]
+
+            # accumulate into the shared boundary chunk (foreign slots of
+            # this tile carry exact zeros, so the add preserves the
+            # neighbor's gradients; on a fresh chunk skip == 0 selects zeros)
+            @pl.when(cg == 0)
             def _():
                 rmw_dma().wait()
-                dscr[slot] = dscr[slot] + jnp.where(skip > 0, rscr[...], 0.0)
+                dscr[slot, :, 0:k] = dscr[slot, :, 0:k] + jnp.where(
+                    skip > 0, rscr[...], 0.0)
 
-            out_dma(c, slot).start()
-
-            log_t_un = log_t_un + alog_incl[:, k - 1:k]
-            cum_u = cum_u + u_incl[:, k - 1:k]
-            return c + 1, log_t_un, cum_u
+            out_dma(cg, slot).start()
+            return cg + 1, log_t_un, cum_u
 
         def cond(carry):
-            c, log_t_un, _ = carry
-            return (c < nch) & (jnp.max(log_t_un) >= log_t_min)
+            cg, log_t_un, _ = carry
+            return (cg < ngr) & (jnp.max(log_t_un) >= log_t_min)
 
         zero_p1 = jnp.zeros((p, 1), jnp.float32)
-        done_c, _, _ = jax.lax.while_loop(
+        done_g, _, _ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), zero_p1, zero_p1))
 
         # drain pending gradient write-outs (up to 2) and, if the saturation
         # early-exit fired, the prefetched input DMA
-        @pl.when(done_c >= 2)
+        @pl.when(done_g >= 2)
         def _():
-            out_dma(done_c - 2, done_c % 2).wait()
+            out_dma(done_g - 2, done_g % 2).wait()
 
-        @pl.when(done_c >= 1)
+        @pl.when(done_g >= 1)
         def _():
-            out_dma(done_c - 1, (done_c - 1) % 2).wait()
+            out_dma(done_g - 1, (done_g - 1) % 2).wait()
 
-        @pl.when(done_c < nch)
+        @pl.when(done_g < ngr)
         def _():
-            chunk_dma(done_c, done_c % 2).wait()
+            group_dma(done_g, done_g % 2).wait()
 
-        # chunks skipped by saturation early-exit still need zero gradients
+        # groups skipped by saturation early-exit still need zero gradients
         # (their shared-boundary content is restored by the NEXT tile's rmw
-        # add; chunk 0 is never zero-filled — the body always processes it);
-        # both scratch slots hold zeros so the fill DMAs can be double-buffered
-        dscr[0] = jnp.zeros((NUM_ROWS, k), jnp.float32)
-        dscr[1] = jnp.zeros((NUM_ROWS, k), jnp.float32)
+        # add; group 0 is never zero-filled — the body always processes it);
+        # both scratch slots hold zeros so the fill DMAs can be
+        # double-buffered.  Fills run at GROUP granularity where the whole
+        # group is inside the window/buffer, chunk granularity for the tail.
+        dscr[0] = jnp.zeros((NUM_ROWS, gd * k), jnp.float32)
+        dscr[1] = jnp.zeros((NUM_ROWS, gd * k), jnp.float32)
 
-        def zfill_dma(c):
+        def zfill_dma(c, width, slot):
+            # c in CHUNK units; width in chunks (1 or gd, both k-aligned)
             start = pl.multiple_of(base + c * k, k)
-            slot = c % 2
             return pltpu.make_async_copy(
-                dscr.at[slot], dout_ref.at[:, pl.ds(start, k)], dsem.at[slot])
+                dscr.at[slot, :, 0:width * k],
+                dout_ref.at[:, pl.ds(start, width * k)], dsem.at[slot])
 
-        # fill start: after the body's chunks for a live tile; for an
+        # fill start: after the body's groups for a live tile; for an
         # EMPTY tile, skip a shared first chunk (a neighbor's data lives
-        # there).  Fill end: the LAST tile extends to the whole buffer so
-        # d_attrs has no garbage tail — consumers then need no mask and
-        # the cotangent is fully defined (slots past the ranges get exact
-        # zeros).
-        zstart = jnp.where(cnt > 0, done_c,
+        # there).  Fill end: the LAST tile extends to the whole (padded)
+        # buffer so d_attrs has no garbage tail — consumers then need no
+        # mask and the cotangent is fully defined.
+        e_buf = e_pad + (gd - 1) * k  # dout width (see _backward_impl)
+        zstart = jnp.where(cnt > 0, done_g * gd,
                            jnp.where(skip > 0, jnp.int32(1), jnp.int32(0)))
         zend = jnp.where(t == n_pad_tiles - 1,
-                         e_pad // k - base // k, nch)
+                         e_buf // k - base // k, ngr * gd)
+        # whole zero groups, then a chunk-granular tail (max(.,0): an empty
+        # tile with a shared first chunk has zend=0 < zstart=1 — no fill)
+        n_zg = jnp.maximum(zend - zstart, 0) // gd
 
-        def zero_fill(c, _):
-            @pl.when(c >= zstart + 2)
+        def zero_fill_groups(gi, _):
+            @pl.when(gi >= 2)
             def _():
-                zfill_dma(c - 2).wait()
-            zfill_dma(c).start()
+                zfill_dma(zstart + (gi - 2) * gd, gd, gi % 2).wait()
+            zfill_dma(zstart + gi * gd, gd, gi % 2).start()
             return 0
 
-        jax.lax.fori_loop(zstart, zend, zero_fill, 0)
+        jax.lax.fori_loop(0, n_zg, zero_fill_groups, 0, unroll=False)
 
-        @pl.when(zend - zstart >= 2)
+        @pl.when(n_zg >= 2)
         def _():
-            zfill_dma(zend - 2).wait()
+            zfill_dma(zstart + (n_zg - 2) * gd, gd, n_zg % 2).wait()
 
-        @pl.when(zend - zstart >= 1)
+        @pl.when(n_zg >= 1)
         def _():
-            zfill_dma(zend - 1).wait()
+            zfill_dma(zstart + (n_zg - 1) * gd, gd, (n_zg - 1) % 2).wait()
+
+        def zero_fill_tail(c, _):
+            dma = zfill_dma(c, 1, 0)
+            dma.start()
+            dma.wait()
+            return 0
+
+        jax.lax.fori_loop(zstart + n_zg * gd, zend, zero_fill_tail, 0,
+                          unroll=False)
         return 0
 
     jax.lax.fori_loop(0, gstep, tile_body, 0)
@@ -521,6 +575,8 @@ def _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
     p = settings.tile_px
     k = settings.chunk
     g = settings.tiles_per_step
+    e_pad = attrs16.shape[1]
+    gd = min(settings.dma_group, e_pad // k)
     n_tiles = num_tiles_x * num_tiles_y
     offsets, n_pad = _pad_tiles(tile_offsets, n_tiles, g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -532,11 +588,11 @@ def _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
         out_specs=pl.BlockSpec((g, p, NUM_OUT), lambda i, offs: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_ROWS, k), jnp.float32),
+            pltpu.VMEM((2, NUM_ROWS, gd * k), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_fwd_kernel, ntx=num_tiles_x,
+    kernel = functools.partial(_fwd_kernel, ntx=num_tiles_x, e_pad=e_pad,
                                settings=settings,
                                track_ncontrib=track_ncontrib)
     out = pl.pallas_call(
@@ -555,11 +611,19 @@ def _backward_impl(attrs16, tile_offsets, fwd_out, gpix, num_tiles_x,
     g = settings.tiles_per_step
     n_tiles = num_tiles_x * num_tiles_y
     e_pad = attrs16.shape[1]
+    gd = min(settings.dma_group, e_pad // k)
     offsets, n_pad = _pad_tiles(tile_offsets, n_tiles, g)
     if n_pad != n_tiles:
         pad = ((0, n_pad - n_tiles), (0, 0), (0, 0))
         fwd_out = jnp.pad(fwd_out, pad)
         gpix = jnp.pad(gpix, pad)
+    # pad the entry buffer so gd-chunk group windows starting at any
+    # k-aligned base stay in-bounds (worst overrun (gd-1)*k); the gradient
+    # buffer gets the same width and the tail is sliced off below (the
+    # slice fuses into the segment-reduce's select+gather — no copy)
+    e_buf = e_pad + (gd - 1) * k
+    if e_buf != e_pad:
+        attrs16 = jnp.pad(attrs16, ((0, 0), (0, e_buf - e_pad)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // g,),
@@ -572,8 +636,8 @@ def _backward_impl(attrs16, tile_offsets, fwd_out, gpix, num_tiles_x,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_ROWS, k), jnp.float32),
-            pltpu.VMEM((2, NUM_ROWS, k), jnp.float32),
+            pltpu.VMEM((2, NUM_ROWS, gd * k), jnp.float32),
+            pltpu.VMEM((2, NUM_ROWS, gd * k), jnp.float32),
             pltpu.VMEM((NUM_ROWS, k), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -583,13 +647,14 @@ def _backward_impl(attrs16, tile_offsets, fwd_out, gpix, num_tiles_x,
     kernel = functools.partial(_bwd_kernel, ntx=num_tiles_x,
                                n_pad_tiles=n_pad, e_pad=e_pad,
                                settings=settings)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NUM_ROWS, e_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NUM_ROWS, e_buf), jnp.float32),
         interpret=use_interpret_mode(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(offsets, attrs16, fwd_out, gpix)
+    return out[:, :e_pad] if e_buf != e_pad else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))

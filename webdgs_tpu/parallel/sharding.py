@@ -84,11 +84,11 @@ def dp_train_step(scene: GaussianScene, opt_state: AdamState,
             grads_acc, counts_acc, sums, maxes = carry
             cam, target = inputs
             if supports_tile_loss(img_w, img_h, settings):
-                m, d_params, aux = compute_param_grads_tiled(
+                m, d_params, aux, demand = compute_param_grads_tiled(
                     scene_r, cam, target, img_w, img_h, loss_cfg, settings,
                     parity_sh=not hp.full_sh, entry_capacity=entry_capacity)
             else:
-                image, d_params, aux = compute_param_grads(
+                image, d_params, aux, demand = compute_param_grads(
                     scene_r, cam, target, img_w, img_h, loss_cfg, settings,
                     parity_sh=not hp.full_sh,
                     entry_capacity=entry_capacity)
@@ -99,8 +99,8 @@ def dp_train_step(scene: GaussianScene, opt_state: AdamState,
             maxes = {
                 "visible": jnp.maximum(
                     maxes["visible"], jnp.sum(aux.visible.astype(jnp.int32))),
-                "tile_entries": jnp.maximum(
-                    maxes["tile_entries"], jnp.sum(aux.num_tiles)),
+                # post-cull pre-drop demand (see Binning.expansion_entries)
+                "tile_entries": jnp.maximum(maxes["tile_entries"], demand),
             }
             return (grads_acc, counts_acc, sums, maxes), None
 
@@ -256,7 +256,7 @@ def render_gaussian_sharded(scene: GaussianScene, camera: Camera,
         attrs, aux = project_gaussians(scene_l.params(), scene_l.alive,
                                        camera, img_w, img_h, scene_l.sh_deg,
                                        settings)
-        key, g, _, _, _ = binning_ops.expand_entries(aux, ntx, e_loc)
+        key, g, _, _, _, _ = binning_ops.expand_entries(aux, ntx, e_loc)
         skey, sg = jax.lax.sort((key, g), num_keys=1)
 
         # sorted by tile => grouped by destination band (bands are
@@ -477,7 +477,7 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
 
         # ---- non-differentiable index plumbing (from aux, as in the
         # single-device split: binning is data, not differentiated) ----
-        key, g, _, _, _ = binning_ops.expand_entries(aux, ntx, e_loc)
+        key, g, _, _, _, _ = binning_ops.expand_entries(aux, ntx, e_loc)
         skey, sg = jax.lax.sort((key, g), num_keys=1)
         band_bound_keys = (jnp.arange(d + 1, dtype=jnp.uint32)
                            * jnp.uint32(band_tiles)) << 16

@@ -46,7 +46,7 @@ def render_from_attrs(attrs: SplatAttrs, aux: SplatAux, img_w: int,
     ntx, nty = binning_ops.tile_grid(img_w, img_h, settings)
     bins = binning_ops.bin_splats(
         aux, img_w, img_h, settings, capacity=entry_capacity,
-        with_source=None if for_grad else False)
+        with_source=None if for_grad else False, attrs=attrs)
     attrs16 = raster_ops.pack_entry_attrs(
         attrs, bins.entry_gauss, bins.entry_valid, settings,
         entry_source=bins.entry_source, gauss_counts=bins.gauss_counts,

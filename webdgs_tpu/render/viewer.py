@@ -130,7 +130,10 @@ class Viewer:
                               entry_capacity=self._entry_cap,
                               gaussian_scaling=gsc)
         if downscale == 1:
-            observed = int(res.binning.total_entries)
+            # expansion_entries, not total_entries: the latter saturates
+            # at the current capacity under overflow drops, so adaptation
+            # must observe the pre-drop demand to see real pressure
+            observed = int(res.binning.expansion_entries)
             chunk = self.settings.chunk
             # rung-quantized (geometric ladder): every distinct capacity is
             # a fresh render compile — a slowly growing scene (live

@@ -52,7 +52,10 @@ def compute_param_grads(scene: GaussianScene, camera: Camera,
                         target: jax.Array, img_w: int, img_h: int,
                         loss_cfg: LossConfig, settings: RenderSettings,
                         parity_sh: bool, entry_capacity: int | None = None):
-    """Returns (image, param grads dict, aux)."""
+    """Returns (image, param grads dict, aux, entry_demand) — the last is
+    the binning's pre-drop entry demand (post-cull; see
+    ``Binning.expansion_entries``), the observation capacity adaptation
+    needs."""
     params = scene.params()
 
     def proj_fn(p):
@@ -66,20 +69,21 @@ def compute_param_grads(scene: GaussianScene, camera: Camera,
     ntx, nty = binning_ops.tile_grid(img_w, img_h, settings)
 
     def img_fn(a):
-        out, _ = render_from_attrs(a, aux, img_w, img_h, settings,
-                                   entry_capacity, for_grad=True)
+        out, bins = render_from_attrs(a, aux, img_w, img_h, settings,
+                                      entry_capacity, for_grad=True)
         tiles = raster_ops.tiles_to_image(out, ntx, nty, img_w, img_h,
                                           settings)
-        return raster_ops.composite_background(tiles, settings)
+        return (raster_ops.composite_background(tiles, settings),
+                bins.expansion_entries)
 
-    image, vjp_raster = jax.vjp(img_fn, attrs)
+    image, vjp_raster, entry_demand = jax.vjp(img_fn, attrs, has_aux=True)
     pgrad = pixel_loss_gradient(image, target, loss_cfg)
     (d_attrs,) = vjp_raster(pgrad)
     (d_params,) = vjp_proj(d_attrs)
 
     # Q2 SH routing + screen-radius-cap guard (tiled-backward.wgsl:261-283)
     d_params = _apply_grad_parity(d_params, d_attrs, aux, params, parity_sh)
-    return image, d_params, aux
+    return image, d_params, aux, entry_demand
 
 
 def _apply_grad_parity(d_params, d_attrs, aux, params, parity_sh):
@@ -101,7 +105,8 @@ def compute_param_grads_tiled(scene: GaussianScene, camera: Camera,
     """Gradient path with the tile-space loss kernel: the loss cotangent is
     computed directly on the rasterizer's (T, P, 8) tile buffer (neighbor
     halos via the kernel), so no image assembly, no re-tile transpose, and
-    one SSIM pass total.  Returns (metrics, param grads dict, aux)."""
+    one SSIM pass total.  Returns (metrics, param grads dict, aux,
+    entry_demand)."""
     from webdgs_tpu.ops.tile_loss import tile_loss_gradient
 
     params = scene.params()
@@ -116,17 +121,17 @@ def compute_param_grads_tiled(scene: GaussianScene, camera: Camera,
     ntx, nty = binning_ops.tile_grid(img_w, img_h, settings)
 
     def tiles_fn(a):
-        out, _ = render_from_attrs(a, aux, img_w, img_h, settings,
-                                   entry_capacity, for_grad=True)
-        return out
+        out, bins = render_from_attrs(a, aux, img_w, img_h, settings,
+                                      entry_capacity, for_grad=True)
+        return out, bins.expansion_entries
 
-    out, vjp_raster = jax.vjp(tiles_fn, attrs)
+    out, vjp_raster, entry_demand = jax.vjp(tiles_fn, attrs, has_aux=True)
     dpix, metrics = tile_loss_gradient(out, target, img_w, img_h, ntx, nty,
                                        loss_cfg, settings)
     (d_attrs,) = vjp_raster(dpix)
     (d_params,) = vjp_proj(d_attrs)
     d_params = _apply_grad_parity(d_params, d_attrs, aux, params, parity_sh)
-    return metrics, d_params, aux
+    return metrics, d_params, aux, entry_demand
 
 
 @functools.partial(
@@ -142,11 +147,11 @@ def train_step(scene: GaussianScene, opt_state: AdamState, camera: Camera,
     from webdgs_tpu.ops.tile_loss import supports_tile_loss
 
     if supports_tile_loss(img_w, img_h, settings):
-        metrics, d_params, aux = compute_param_grads_tiled(
+        metrics, d_params, aux, entry_demand = compute_param_grads_tiled(
             scene, camera, target, img_w, img_h, loss_cfg, settings,
             parity_sh=not hp.full_sh, entry_capacity=entry_capacity)
     else:
-        image, d_params, aux = compute_param_grads(
+        image, d_params, aux, entry_demand = compute_param_grads(
             scene, camera, target, img_w, img_h, loss_cfg, settings,
             parity_sh=not hp.full_sh, entry_capacity=entry_capacity)
         metrics = loss_metrics(image, target, loss_cfg)
@@ -154,8 +159,10 @@ def train_step(scene: GaussianScene, opt_state: AdamState, camera: Camera,
     new_params, new_opt = adam_step(scene.params(), d_params, opt_state, hp,
                                     aux.num_tiles)
     # the reference's pipeline-stats counters (update-stats.wgsl,
-    # tiled-forward.wgsl:292): visible splats + total tile entries
+    # tiled-forward.wgsl:292): visible splats + total tile entries.
+    # tile_entries is the binning's pre-drop demand — post-cull, so
+    # capacity adaptation sizes the sort to the survivors, not the rects
     metrics["visible"] = jnp.sum(aux.visible.astype(jnp.int32))
-    metrics["tile_entries"] = jnp.sum(aux.num_tiles)
+    metrics["tile_entries"] = entry_demand
     return TrainStepResult(scene=scene.with_params(new_params),
                            opt_state=new_opt, metrics=metrics)
