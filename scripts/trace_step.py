@@ -108,7 +108,14 @@ def capture(trace_dir: str) -> None:
     cam = default_camera(w, h, position=(0.0, 0.0, -8.0))
     target = render(scene, cam, w, h, settings).image
     opt = init_adam_state(scene.params())
-    cap = 4096 if tiny else 786432
+    # entry capacity exactly like bench.py: 1.2x the observed (post-cull)
+    # per-frame entry demand, so the trace ranks the ops the bench runs
+    _, _, m0 = train_step(scene, opt, cam, target, img_w=w, img_h=h,
+                          settings=settings)
+    observed = float(m0["tile_entries"])
+    cap = max(-int(-observed * 1.2 // settings.chunk) * settings.chunk,
+              settings.chunk * 8)
+    print(f"entry demand {observed:.0f} -> capacity {cap}")
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(s, o):
