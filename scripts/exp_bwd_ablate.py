@@ -84,7 +84,8 @@ def main():
     def run_bwd(a, o, f, g):
         acc = jnp.float32(0)
         for i in range(R):
-            out = RZ._backward_impl(a + acc * 1e-30, o, f, g, ntx, nty, s)
+            out = RZ._backward_impl(a + acc * 1e-30, o, g[:, :RZ.NUM_GPIX],
+                                    ntx, nty, s)
             acc = acc + jnp.sum(out.ravel()[:4])
         return acc
 

@@ -133,7 +133,8 @@ def main():
         a, b.tile_offsets, ntx, nty, s), (a16, bins))
 
     rec("raster bwd kernel", lambda a, b, f, gp: RZ._backward_impl(
-        a, b.tile_offsets, f, gp, ntx, nty, s), (a16, bins, fwd_out, gpix))
+        a, b.tile_offsets, gp[:, :RZ.NUM_GPIX], ntx, nty, s),
+        (a16, bins, fwd_out, gpix))
 
     def scatter_rows(dattr, b):
         rows_ = jnp.where(b.entry_valid[:, None], dattr.T, 0.0)

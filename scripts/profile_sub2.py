@@ -123,7 +123,8 @@ def main():
     # --- backward pieces ---
     def p_bwd_kernel(a, salt):
         a2 = a + salt
-        return RZ._backward_impl(a2, bins.tile_offsets, fwd_out, gpix,
+        return RZ._backward_impl(a2, bins.tile_offsets,
+                                 gpix[:, :RZ.NUM_GPIX],
                                  ntx, nty, s)
 
     def p_img_to_tiles(img, salt):

@@ -59,7 +59,9 @@ def composite_tile(attrs_t, t_idx, ntx, settings: RenderSettings):
     ncontrib = jax.lax.stop_gradient(ncontrib)
 
     zeros = jnp.zeros_like(t_gated)
-    return jnp.concatenate([acc, t_gated, ncontrib, zeros, zeros], axis=1)
+    # channel-PLANAR (NUM_OUT, P), matching the Pallas kernels' layout
+    return jnp.concatenate([acc, t_gated, ncontrib, zeros, zeros],
+                           axis=1).T
 
 
 def rasterize_dense(attrs16, tile_offsets_np, ntx, nty,
@@ -80,7 +82,7 @@ def _rasterize_dense(attrs16, tile_offsets_np, ntx, nty,
             outs.append(composite_tile(attrs16[:, lo:hi], t, ntx, settings))
         else:
             p = settings.tile_px
-            empty = jnp.zeros((p, R.NUM_OUT))
-            empty = empty.at[:, R.OUT_T].set(1.0)
+            empty = jnp.zeros((R.NUM_OUT, p))
+            empty = empty.at[R.OUT_T, :].set(1.0)
             outs.append(empty)
-    return jnp.stack(outs, axis=0)  # (T, P, 8)
+    return jnp.stack(outs, axis=0)  # (T, 8, P)

@@ -65,8 +65,8 @@ def test_backward_kernel_matches_dense_autodiff(opacity_boost):
     rng = np.random.default_rng(0)
     g = rng.normal(0, 1, out_kernel.shape).astype(np.float32)
     # n_contrib and spare channels are non-differentiable outputs
-    g[:, :, raster_ops.OUT_NCONTRIB:] = rng.normal(
-        0, 1, g[:, :, raster_ops.OUT_NCONTRIB:].shape)
+    g[:, raster_ops.OUT_NCONTRIB:, :] = rng.normal(
+        0, 1, g[:, raster_ops.OUT_NCONTRIB:, :].shape)
     g = jnp.asarray(g)
 
     _, vjp_k = jax.vjp(

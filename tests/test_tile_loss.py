@@ -44,11 +44,11 @@ def test_tile_loss_matches_oracle(img_w, img_h):
 
     rng = np.random.default_rng(7)
     n_tiles = ntx * nty
-    out = np.zeros((n_tiles, SETTINGS.tile_px, raster_ops.NUM_OUT),
+    out = np.zeros((n_tiles, raster_ops.NUM_OUT, SETTINGS.tile_px),
                    np.float32)
-    out[:, :, 0:3] = rng.random((n_tiles, SETTINGS.tile_px, 3)) * 0.9
-    out[:, :, 3] = rng.random((n_tiles, SETTINGS.tile_px))
-    out[:, :, raster_ops.OUT_T] = rng.random((n_tiles, SETTINGS.tile_px))
+    out[:, 0:3, :] = rng.random((n_tiles, 3, SETTINGS.tile_px)) * 0.9
+    out[:, 3, :] = rng.random((n_tiles, SETTINGS.tile_px))
+    out[:, raster_ops.OUT_T, :] = rng.random((n_tiles, SETTINGS.tile_px))
     target = rng.random((img_h, img_w, 3)).astype(np.float32)
 
     out = jnp.asarray(out)
@@ -76,15 +76,18 @@ def test_tile_loss_zero_diff_zero_l1l2():
     # build tiles whose composited value equals the target exactly
     tiles = raster_ops.image_to_tiles(jnp.asarray(target), ntx, nty,
                                       SETTINGS)
-    out = jnp.zeros((ntx * nty, SETTINGS.tile_px, raster_ops.NUM_OUT),
+    out = jnp.zeros((ntx * nty, raster_ops.NUM_OUT, SETTINGS.tile_px),
                     jnp.float32)
     bg = jnp.asarray(SETTINGS.background)
-    out = out.at[:, :, 0:3].set(tiles - bg * 0.0)
+    # image_to_tiles yields channel-minor (T, P, 3); the planar buffer
+    # wants (T, 3, P)
+    out = out.at[:, 0:3, :].set(jnp.transpose(tiles, (0, 2, 1))
+                                - bg[:, None] * 0.0)
     dpix, met = tile_loss_gradient(out, jnp.asarray(target), img_w, img_h,
                                    ntx, nty, cfg, SETTINGS)
     assert float(met["l1"]) < 1e-6
     assert float(met["l2"]) < 1e-10
-    np.testing.assert_allclose(np.asarray(dpix[:, :, 1]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dpix[:, 1, :]), 0.0, atol=1e-6)
 
 
 def test_train_step_tile_path_matches_image_path():
@@ -143,10 +146,10 @@ def test_band_tile_loss_matches_full():
 
     rng = np.random.default_rng(17)
     n_tiles = ntx * nty
-    out = np.zeros((n_tiles, SETTINGS.tile_px, raster_ops.NUM_OUT),
+    out = np.zeros((n_tiles, raster_ops.NUM_OUT, SETTINGS.tile_px),
                    np.float32)
-    out[:, :, 0:3] = rng.random((n_tiles, SETTINGS.tile_px, 3)) * 0.9
-    out[:, :, raster_ops.OUT_T] = rng.random((n_tiles, SETTINGS.tile_px))
+    out[:, 0:3, :] = rng.random((n_tiles, 3, SETTINGS.tile_px)) * 0.9
+    out[:, raster_ops.OUT_T, :] = rng.random((n_tiles, SETTINGS.tile_px))
     target = rng.random((img_h, img_w, 3)).astype(np.float32)
     out = jnp.asarray(out)
     target = jnp.asarray(target)
@@ -156,7 +159,7 @@ def test_band_tile_loss_matches_full():
 
     eb = 2 * SETTINGS.tile_w  # HALF * tile_w boundary slice
     garbage = jnp.asarray(
-        rng.random((ntx, eb, raster_ops.NUM_OUT)) * 5.0, jnp.float32)
+        rng.random((ntx, raster_ops.NUM_OUT, eb)) * 5.0, jnp.float32)
     dpix_bands, sums_bands = [], []
     for b in range(d):
         lo, hi = b * rows * ntx, (b + 1) * rows * ntx

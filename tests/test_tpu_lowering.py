@@ -119,8 +119,8 @@ def test_band_tile_loss_lowers_for_tpu(compiled_kernels):
     ntx, rows = 4, 2
     p_px = settings.tile_px
     eb = HALF * settings.tile_w
-    out = jnp.zeros((rows * ntx, p_px, NUM_OUT), jnp.float32)
-    halo = jnp.zeros((ntx, eb, NUM_OUT), jnp.float32)
+    out = jnp.zeros((rows * ntx, NUM_OUT, p_px), jnp.float32)
+    halo = jnp.zeros((ntx, NUM_OUT, eb), jnp.float32)
     target = jnp.zeros((h, w, 3), jnp.float32)
 
     def f(out, halo_top, halo_bot, target, row_base):

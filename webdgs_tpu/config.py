@@ -114,6 +114,15 @@ class RenderSettings:
     # and every O(entries) stage (sort, gathers, kernels, adaptive
     # capacity) shrinks with the cull.  Off = reference-exact rect binning.
     tile_cull: bool = True
+    # Gather the backward pass's per-entry gradient rows at f16 width in
+    # the expansion-order permutation (ops/rasterize.py:
+    # segment_reduce_entries).  Row-gather cost on a v5e chip is
+    # width-bound (f16 is 3x faster at the bench shape), and f16 is the
+    # reference's own per-entry gradient precision — its backward packs
+    # every accumulated gradient into the f16 GaussianGradient buffer
+    # (src/shaders/tiled-backward.wgsl:285-297).  The per-Gaussian prefix
+    # sums stay f32.  False = exact f32 gather (the oracle/gradcheck tier).
+    grad_rows_f16: bool = True
     # Exchange packed entry rows as f16 over ICI in the gaussian-sharded
     # paths (halves all_to_all bytes: 32B -> 16B per entry + 4B key).
     # Centers are encoded tile-relative before the cast so the f16 mantissa

@@ -416,7 +416,9 @@ def bin_splats(aux: SplatAux, img_w: int, img_h: int,
     total_tiles = ntx * nty
     check_tile_key_limit(total_tiles)
 
-    key, g, counts, total, keep, total_exp = expand_entries(
+    # names match expand_entries' return: total_kept = post-drop real
+    # entries (<= e_cap), demand = pre-drop entry demand (can exceed it)
+    key, g, counts, total_kept, keep, demand = expand_entries(
         aux, ntx, e_cap, attrs=attrs, settings=settings)
     culling = attrs is not None and settings.tile_cull
 
@@ -457,11 +459,11 @@ def bin_splats(aux: SplatAux, img_w: int, img_h: int,
     e_idx = jnp.arange(e_cap, dtype=jnp.int32)
     return Binning(
         entry_gauss=sorted_gauss,
-        entry_valid=e_idx < total,
+        entry_valid=e_idx < total_kept,
         tile_offsets=tile_offsets,
         tile_counts=tile_counts,
-        total_entries=total,
+        total_entries=total_kept,
         entry_source=sorted_source,
         gauss_counts=counts if with_source else None,
-        expansion_entries=total_exp,
+        expansion_entries=demand,
     )

@@ -68,12 +68,22 @@ ROW_OP = 8
 ROW_EX, ROW_EY = 9, 10
 NUM_ROWS = 16  # sublane-aligned; 12 rows crashes the Mosaic compile helper
 
-# output-channel layout of the per-tile pixel buffer (T, P, 8)
+# output-channel layout of the per-tile pixel buffer (T, NUM_OUT, P) —
+# channel-PLANAR: pixels on the minor (lane) axis.  A channel-minor
+# (T, P, 8) layout lane-pads the 8-wide minor dim to 128 under TPU tiling:
+# 249 MB of phantom HBM for the 15.6 MB logical buffer at 800x600, written
+# by the forward kernel, read twice by the backward, and re-shuffled by
+# every layout copy around the loss kernel (measured round 4 via
+# memory_analysis + xplane: ~2 ms/step).  Planar tiles are exactly compact.
 OUT_R, OUT_G, OUT_B = 0, 1, 2
 OUT_ACC_ALPHA = 3
 OUT_T = 4
 OUT_NCONTRIB = 5
 NUM_OUT = 8
+# backward-kernel pixel-cotangent channels: d(r,g,b,acc) + the pixel's
+# precomputed suffix term (see _rasterize_bwd)
+GPIX_SUFFIX = 4
+NUM_GPIX = 5
 
 
 def _tile_window(offsets_ref, t, k):
@@ -285,8 +295,11 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
                 c4 = jnp.concatenate(
                     [sub[ROW_R:ROW_B + 1, :],
                      jnp.ones((1, k), jnp.float32)], axis=0)
+                # planar accumulator: (4, P) += c4 (4,K) x w (P,K) over K —
+                # the swapped operand order writes the channel-planar output
+                # layout directly (no transpose anywhere)
                 acc = acc + _dot_general_tiered(
-                    w, c4, (((1,), (1,)), ((), ())), settings)  # (P, 4)
+                    c4, w, (((1,), (1,)), ((), ())), settings)  # (4, P)
 
                 log_t_un = log_t_un + alog_incl[:, k - 1:k]
                 log_t_gated = log_t_gated + jnp.sum(alog * incl, axis=1,
@@ -308,7 +321,7 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
 
         zero_p1 = jnp.zeros((p, 1), jnp.float32)
         init = (jnp.int32(0), zero_p1, zero_p1,
-                jnp.zeros((p, 4), jnp.float32), zero_p1)
+                jnp.zeros((4, p), jnp.float32), zero_p1)
         done_g, _, log_t_gated, acc, nmax = jax.lax.while_loop(cond, body,
                                                                init)
 
@@ -317,16 +330,21 @@ def _fwd_kernel(offsets_ref, attrs_ref, out_ref, scr, sem, *,
         def _():
             group_dma(done_g, done_g % 2).wait()
 
-        out_ref[i, :, 0:4] = acc
-        out_ref[i, :, OUT_T:OUT_T + 1] = jnp.exp(log_t_gated)
-        out_ref[i, :, OUT_NCONTRIB:OUT_NCONTRIB + 1] = nmax
-        out_ref[i, :, 6:8] = jnp.zeros((p, 2), jnp.float32)
+        out_ref[i, 0:4, :] = acc
+        # the per-pixel scalars accumulate as (P, 1) columns (lane
+        # reductions of the (P, K) chunk blocks); ONE small transpose per
+        # tile moves both into the planar channel rows
+        scal = jax.lax.transpose(
+            jnp.concatenate([log_t_gated, nmax], axis=1), (1, 0))  # (2, P)
+        out_ref[i, OUT_T:OUT_T + 1, :] = jnp.exp(scal[0:1, :])
+        out_ref[i, OUT_NCONTRIB:OUT_NCONTRIB + 1, :] = scal[1:2, :]
+        out_ref[i, 6:8, :] = jnp.zeros((2, p), jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, g, tile_body, 0)
 
 
-def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
+def _bwd_kernel(offsets_ref, attrs_ref, gpix_ref, dout_ref,
                 scr, dscr, rscr, sem, dsem, rsem, *, ntx: int,
                 n_pad_tiles: int, e_pad: int,
                 settings: RenderSettings):
@@ -348,13 +366,15 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
         skip = uo - base
         pxf, pyf = _pixel_coords(t, ntx, settings)
 
-        g4 = gpix_ref[i, :, 0:4]  # cotangents for (r, g, b, acc_alpha), (P, 4)
-        g_t = gpix_ref[i, :, OUT_T:OUT_T + 1]  # (P, 1)
-        t_final = fwd_out_ref[i, :, OUT_T:OUT_T + 1]
-        # U_tot = sum_k gamma4_k w_k over the whole tile = <g4, acc_outputs>.
-        u_tot = jnp.sum(g4 * fwd_out_ref[i, :, 0:4], axis=1, keepdims=True)
-        # the dT_final/da_j = -T_final/(1-a_j) term folds into the suffix
-        suffix_extra = u_tot + g_t * t_final  # (P, 1)
+        # gpix_ref carries the planar pixel cotangents: channels 0:4 =
+        # d(r, g, b, acc_alpha) and channel GPIX_SUFFIX = the precomputed
+        # suffix term U_tot + g_T*T_final (see _rasterize_bwd) — so the
+        # kernel needs NO forward-output input at all.  One small (5, P)
+        # -> (P, 5) transpose per tile yields the per-pixel columns the
+        # (P, K) chunk math broadcasts.
+        gt5 = jax.lax.transpose(gpix_ref[i, 0:NUM_GPIX, :], (1, 0))  # (P, 5)
+        g4 = gt5[:, 0:4]  # cotangents for (r, g, b, acc_alpha), (P, 4)
+        suffix_extra = gt5[:, GPIX_SUFFIX:GPIX_SUFFIX + 1]  # (P, 1)
 
         # group windows are NEVER clamped here: _backward_impl pads the
         # entry buffer (and sizes dout) by (gd-1)*k lanes, so the nominal
@@ -436,19 +456,26 @@ def _bwd_kernel(offsets_ref, attrs_ref, fwd_out_ref, gpix_ref, dout_ref,
                 d_op = jnp.sum(dl_da * g * unclamped, axis=0,
                                keepdims=True)  # (1, K)
 
-                # d color: dL/dc[j,ch] = sum_p g_ch[p] * w[p,j]
+                # d color: dL/dc[ch,j] = sum_p g_ch[p] * w[p,j] — the planar
+                # gpix rows contract over P directly, no slice transpose
                 d_col = _dot_general_tiered(
-                    gpix_ref[i, :, 0:3], w, (((0,), (0,)), ((), ())),
+                    gpix_ref[i, 0:3, :], w, (((1,), (0,)), ((), ())),
                     settings)  # (3, K)
 
                 q = dl_dg * (-0.5 * g)  # (P, K)
-                # power = dx*u1 + dy*u2 with u1 = ca dx + cb dy, u2 = cb dx +
-                # cc dy (already computed for alpha); d power/d center =
-                # -2*(u1, u2), and qx/qy fold the shared products once
+                # d power/d center = -2*(u1, u2) with u1 = ca dx + cb dy,
+                # u2 = cb dx + cc dy, so sum_p q*u1 = ca*S_qx + cb*S_qy
+                # with S_qx = sum_p qx etc — the conic rows are per-splat
+                # constants, which deletes the q*u1/q*u2 (P, K) products
                 qx = q * dx
                 qy = q * dy
-                d_cx = -2.0 * jnp.sum(q * u1, axis=0, keepdims=True)
-                d_cy = -2.0 * jnp.sum(q * u2, axis=0, keepdims=True)
+                s_qx = jnp.sum(qx, axis=0, keepdims=True)  # (1, K)
+                s_qy = jnp.sum(qy, axis=0, keepdims=True)
+                ca = col[ROW_CA:ROW_CA + 1, :]
+                cb = col[ROW_CB:ROW_CB + 1, :]
+                cc = col[ROW_CC:ROW_CC + 1, :]
+                d_cx = -2.0 * (ca * s_qx + cb * s_qy)
+                d_cy = -2.0 * (cb * s_qx + cc * s_qy)
                 d_ca = jnp.sum(qx * dx, axis=0, keepdims=True)
                 d_cb = 2.0 * jnp.sum(qx * dy, axis=0, keepdims=True)
                 d_cc = jnp.sum(qy * dy, axis=0, keepdims=True)
@@ -585,7 +612,7 @@ def _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
         # keep the packed entries in HBM: tile ranges start at arbitrary
         # offsets, and only HBM (linear) refs can be sliced unaligned for DMA
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=pl.BlockSpec((g, p, NUM_OUT), lambda i, offs: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, NUM_OUT, p), lambda i, offs: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_ROWS, gd * k), jnp.float32),
@@ -598,14 +625,16 @@ def _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, p, NUM_OUT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, NUM_OUT, p), jnp.float32),
         interpret=use_interpret_mode(),
     )(offsets, attrs16)
     return out[:n_tiles] if n_pad != n_tiles else out
 
 
-def _backward_impl(attrs16, tile_offsets, fwd_out, gpix, num_tiles_x,
+def _backward_impl(attrs16, tile_offsets, gpix5, num_tiles_x,
                    num_tiles_y, settings: RenderSettings):
+    """``gpix5``: (T, NUM_GPIX, P) planar pixel cotangents — d(r,g,b,acc)
+    plus the precomputed per-pixel suffix term (see _rasterize_bwd)."""
     p = settings.tile_px
     k = settings.chunk
     g = settings.tiles_per_step
@@ -614,9 +643,7 @@ def _backward_impl(attrs16, tile_offsets, fwd_out, gpix, num_tiles_x,
     gd = min(settings.dma_group, e_pad // k)
     offsets, n_pad = _pad_tiles(tile_offsets, n_tiles, g)
     if n_pad != n_tiles:
-        pad = ((0, n_pad - n_tiles), (0, 0), (0, 0))
-        fwd_out = jnp.pad(fwd_out, pad)
-        gpix = jnp.pad(gpix, pad)
+        gpix5 = jnp.pad(gpix5, ((0, n_pad - n_tiles), (0, 0), (0, 0)))
     # pad the entry buffer so gd-chunk group windows starting at any
     # k-aligned base stay in-bounds (worst overrun (gd-1)*k); the gradient
     # buffer gets the same width and the tail is sliced off below (the
@@ -629,9 +656,7 @@ def _backward_impl(attrs16, tile_offsets, fwd_out, gpix, num_tiles_x,
         grid=(n_pad // g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((g, p, NUM_OUT), lambda i, offs: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, p, NUM_OUT), lambda i, offs: (i, 0, 0),
+            pl.BlockSpec((g, NUM_GPIX, p), lambda i, offs: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -653,7 +678,7 @@ def _backward_impl(attrs16, tile_offsets, fwd_out, gpix, num_tiles_x,
         out_shape=jax.ShapeDtypeStruct((NUM_ROWS, e_buf), jnp.float32),
         interpret=use_interpret_mode(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(offsets, attrs16, fwd_out, gpix)
+    )(offsets, attrs16, gpix5)
     return out[:, :e_pad] if e_buf != e_pad else out
 
 
@@ -671,8 +696,10 @@ def rasterize_tiles(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
     replay (metric-count.wgsl); training steps pass False and the forward
     kernel skips its position/max bookkeeping (channel 5 reads 0).
 
-    Returns (T, P, 8) per-tile pixel channels
-    [r, g, b, acc_alpha, T_final, n_contrib, 0, 0] *without* background.
+    Returns (T, NUM_OUT, P) channel-PLANAR per-tile pixels
+    [r, g, b, acc_alpha, T_final, n_contrib, 0, 0] *without* background
+    (pixels on the minor axis: the channel-minor alternative lane-pads
+    8 -> 128 under TPU tiling — see the OUT_* comment above).
     """
     return _forward_impl(attrs16, tile_offsets, num_tiles_x, num_tiles_y,
                          settings, track_ncontrib)
@@ -688,7 +715,17 @@ def _rasterize_fwd(attrs16, tile_offsets, num_tiles_x, num_tiles_y, settings,
 def _rasterize_bwd(num_tiles_x, num_tiles_y, settings, track_ncontrib,
                    residuals, g):
     attrs16, tile_offsets, fwd_out = residuals
-    d_attrs = _backward_impl(attrs16, tile_offsets, fwd_out, g,
+    # Fold the forward outputs out of the kernel: the backward math needs
+    # them only through the per-pixel suffix term
+    #     suffix = U_tot + g_T*T_final
+    #            = sum_c g_c*out_c (c = r,g,b,acc) + g_T*T_final,
+    # one cheap XLA fusion over the compact planar buffers — the kernel
+    # then takes 5 cotangent channels and NO forward-output input (which
+    # halves its pixel-buffer DMA traffic).
+    suffix = (jnp.sum(g[:, 0:4] * fwd_out[:, 0:4], axis=1, keepdims=True)
+              + g[:, OUT_T:OUT_T + 1] * fwd_out[:, OUT_T:OUT_T + 1])
+    gpix5 = jnp.concatenate([g[:, 0:4], suffix], axis=1)  # (T, 5, P)
+    d_attrs = _backward_impl(attrs16, tile_offsets, gpix5,
                              num_tiles_x, num_tiles_y, settings)
     # Slots past the last tile window hold garbage (never written by the
     # kernel), but every consumer of this cotangent masks by entry_valid
@@ -720,20 +757,20 @@ def _gather_pack(per_gauss, entry_gauss, entry_valid):
     return gathered.T  # (16, A)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_pack_prefix(e_cap, per_gauss, entry_gauss, entry_valid,
-                        entry_source, gauss_counts):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gather_pack_prefix(e_cap, settings, per_gauss, entry_gauss,
+                        entry_valid, entry_source, gauss_counts):
     return _gather_pack(per_gauss, entry_gauss, entry_valid)
 
 
-def _gather_pack_prefix_fwd(e_cap, per_gauss, entry_gauss, entry_valid,
-                            entry_source, gauss_counts):
+def _gather_pack_prefix_fwd(e_cap, settings, per_gauss, entry_gauss,
+                            entry_valid, entry_source, gauss_counts):
     out = _gather_pack(per_gauss, entry_gauss, entry_valid)
     return out, (entry_valid, entry_source, gauss_counts)
 
 
 def segment_reduce_entries(e_cap, rows, entry_valid, entry_source,
-                           gauss_counts):
+                           gauss_counts, settings=None):
     """Per-Gaussian accumulation of per-entry values WITHOUT an XLA
     scatter-add (XLA serializes large-scale row scatters: measured 16.4 ms
     at 530k entries into 100k Gaussians vs 7.2 ms for this path).
@@ -746,8 +783,19 @@ def segment_reduce_entries(e_cap, rows, entry_valid, entry_source,
     f32 prefix-difference error is ~eps*sqrt(E/s) relative for a segment
     of size s — ~2e-4 worst case, immaterial for SGD.
 
+    The expansion-order permutation gathers the rows at HALF width (f16):
+    row-gather cost on a v5e chip is width-bound (0.96 vs 3.06 ms at 410k
+    rows, scripts/exp_segred.py), and f16 is exactly the reference's own
+    per-entry gradient precision — its backward packs every accumulated
+    gradient into the f16 GaussianGradient buffer
+    (src/shaders/tiled-backward.wgsl:285-297).  The prefix sum and the
+    boundary differences stay f32.  ``settings.grad_rows_f16=False``
+    restores the exact-f32 gather (the oracle-comparison tier).
+
     Returns (N, C) per-Gaussian sums (N = gauss_counts.shape[0]).
     """
+    from webdgs_tpu.config import DEFAULT_SETTINGS
+    settings = settings if settings is not None else DEFAULT_SETTINGS
     a_cap = entry_source.shape[0]
     rows = jnp.where(entry_valid[:, None], rows, 0.0)  # (E, C)
 
@@ -760,23 +808,32 @@ def segment_reduce_entries(e_cap, rows, entry_valid, entry_source,
     # rows.
     slot_ids = jnp.arange(a_cap, dtype=jnp.int32)
     _, inv = jax.lax.sort((entry_source, slot_ids), num_keys=1)
+    if settings.grad_rows_f16:
+        rows = rows.astype(jnp.float16)
     d_exp = rows[inv[:e_cap]]  # (E, C) in expansion (gaussian-grouped) order
 
-    cum = jnp.cumsum(d_exp, axis=0)
+    cum = jnp.cumsum(d_exp.astype(jnp.float32), axis=0)
     cum_counts = jnp.cumsum(gauss_counts)
-    last = jnp.clip(cum_counts - 1, 0, e_cap - 1)
-    first = cum_counts - gauss_counts  # exclusive start
-    seg = cum[last] - jnp.where((first > 0)[:, None],
-                                cum[jnp.maximum(first - 1, 0)], 0.0)
-    return jnp.where((gauss_counts > 0)[:, None], seg, 0.0)
+    # cum_l[g] = prefix through the END of segment g (0 while no segment
+    # has started).  Segments are consecutive, so the exclusive boundary
+    # is a SHIFT of the same gathered array — one (N, C) gather instead
+    # of two (0.6 ms at the bench shape, scripts/exp_segred.py).  A
+    # zero-count Gaussian has cum_counts[g] == cum_counts[g-1], so its
+    # difference is exactly 0.
+    cum_l = jnp.where((cum_counts > 0)[:, None],
+                      cum[jnp.clip(cum_counts - 1, 0, e_cap - 1)], 0.0)
+    prev = jnp.concatenate([jnp.zeros((1, cum_l.shape[1]), cum_l.dtype),
+                            cum_l[:-1]], axis=0)
+    return cum_l - prev
 
 
-def _gather_pack_prefix_bwd(e_cap, res, g):
+def _gather_pack_prefix_bwd(e_cap, settings, res, g):
     """Rasterizer-cotangent accumulation per Gaussian via
     :func:`segment_reduce_entries` (the transpose of the entry gather)."""
     entry_valid, entry_source, gauss_counts = res
     d_per_gauss = segment_reduce_entries(e_cap, g.T, entry_valid,
-                                         entry_source, gauss_counts)
+                                         entry_source, gauss_counts,
+                                         settings)
 
     def f0(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)
@@ -808,7 +865,7 @@ def pack_entry_attrs(attrs, entry_gauss, entry_valid,
     per_gauss = _pack_per_gauss(attrs)
     if entry_source is not None and gauss_counts is not None:
         assert expansion_capacity is not None
-        return _gather_pack_prefix(expansion_capacity, per_gauss,
+        return _gather_pack_prefix(expansion_capacity, settings, per_gauss,
                                    entry_gauss, entry_valid, entry_source,
                                    gauss_counts)
     return _gather_pack(per_gauss, entry_gauss, entry_valid)
@@ -816,24 +873,30 @@ def pack_entry_attrs(attrs, entry_gauss, entry_valid,
 
 def composite_background(tiles, settings: RenderSettings):
     """accum + background * T_final (tiled-rasterizer.wgsl:250-252);
-    tiles: (..., NUM_OUT) pixel channels -> (..., 3) final color."""
+    tiles: (..., NUM_OUT) IMAGE-space pixel channels (channel-minor, i.e.
+    after :func:`tiles_to_image`) -> (..., 3) final color."""
     bg = jnp.asarray(settings.background, dtype=jnp.float32)
     return tiles[..., 0:3] + bg * tiles[..., OUT_T:OUT_T + 1]
 
 
 def tiles_to_image(out, num_tiles_x, num_tiles_y, img_w, img_h,
                    settings: RenderSettings):
-    """(T, P, C) per-tile pixels -> (H, W, C) image crop."""
-    c = out.shape[-1]
-    img = out.reshape(num_tiles_y, num_tiles_x, settings.tile_h,
-                      settings.tile_w, c)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(
+    """(T, C, P) channel-planar per-tile pixels -> (H, W, C) image crop."""
+    c = out.shape[1]
+    img = out.reshape(num_tiles_y, num_tiles_x, c, settings.tile_h,
+                      settings.tile_w)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(
         num_tiles_y * settings.tile_h, num_tiles_x * settings.tile_w, c)
     return img[:img_h, :img_w]
 
 
 def image_to_tiles(img, num_tiles_x, num_tiles_y, settings: RenderSettings):
-    """(H, W, C) -> (T, P, C), zero-padding to the tile grid."""
+    """(H, W, C) -> channel-MINOR (T, P, C), zero-padding to the tile grid.
+
+    Note this is NOT the inverse layout of the rasterizer's planar
+    (T, C, P) output: the importance replay kernel consumes its per-pixel
+    inputs as (P, c) columns (ops/importance.py), which is what this
+    produces."""
     h, w, c = img.shape
     ph = num_tiles_y * settings.tile_h - h
     pw = num_tiles_x * settings.tile_w - w

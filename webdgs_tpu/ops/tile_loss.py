@@ -9,7 +9,8 @@ window passes (one for the gradient, one for the metrics).  This kernel
 keeps everything in tile space:
 
 * the kernel works on a ROW-PLANAR view (rows, NUM_OUT, th, ntx*tw) of
-  the rasterizer's (T, P, NUM_OUT) buffer (one cheap XLA transpose in,
+  the rasterizer's planar (T, NUM_OUT, P) buffer (one cheap XLA
+  transpose in,
   one out).  Planar blocks mean every channel read/write inside the
   kernel is a leading-dim index yielding a clean (th, W) 2D vector — no
   in-register merges or splits of the pixel grid, which Mosaic's layout
@@ -31,7 +32,7 @@ keeps everything in tile space:
   on the one-hot's source dim directly so no vector transposes are
   needed;
 * window means are shifted-add box filters (exact f32, no MXU);
-* outputs are the backward rasterizer's pixel cotangent (T, P, 8) —
+* outputs are the backward rasterizer's pixel cotangent (T, 8, P) —
   composite-background chain rule folded in: d_rgb = grad, d_T = grad.bg
   — and per-tile metric partial sums (|diff|, diff^2, dssim, valid count),
   so the scalar metrics cost no second SSIM pass.
@@ -193,22 +194,22 @@ def _loss_kernel(rb_ref, c_ref, u_ref, d_ref, tc_ref, tu_ref, td_ref,
 
 def _rowplanar_tiles(out: jax.Array, ntx: int,
                      settings: RenderSettings) -> jax.Array:
-    """(T, P, C) tile buffer -> row-planar (rows, C, th, ntx*tw): one
-    full-width pixel band per tile row, channel-planar."""
+    """(T, C, P) channel-planar tile buffer -> row-planar
+    (rows, C, th, ntx*tw): one full-width pixel band per tile row."""
     th, tw = settings.tile_h, settings.tile_w
-    c = out.shape[-1]
+    c = out.shape[1]
     rows = out.shape[0] // ntx
-    t5 = out.reshape(rows, ntx, th, tw, c)
-    return t5.transpose(0, 4, 2, 1, 3).reshape(rows, c, th, ntx * tw)
+    t5 = out.reshape(rows, ntx, c, th, tw)
+    return t5.transpose(0, 2, 3, 1, 4).reshape(rows, c, th, ntx * tw)
 
 
 def _unrowplanar_tiles(dpixp: jax.Array, ntx: int,
                        settings: RenderSettings) -> jax.Array:
-    """Row-planar (rows, C, th, ntx*tw) -> (T, P, C)."""
+    """Row-planar (rows, C, th, ntx*tw) -> (T, C, P)."""
     th, tw = settings.tile_h, settings.tile_w
     rows, c = dpixp.shape[0], dpixp.shape[1]
     t5 = dpixp.reshape(rows, c, th, ntx, tw)
-    return t5.transpose(0, 3, 2, 4, 1).reshape(rows * ntx, th * tw, c)
+    return t5.transpose(0, 3, 1, 2, 4).reshape(rows * ntx, c, th * tw)
 
 
 def tile_loss_gradient(out: jax.Array, target: jax.Array, img_w: int,
@@ -216,8 +217,8 @@ def tile_loss_gradient(out: jax.Array, target: jax.Array, img_w: int,
                        settings: RenderSettings):
     """Pixel cotangent for the rasterizer's tile buffer + metric sums.
 
-    out: (T, P, NUM_OUT) rasterizer forward tiles; target: (H, W, 3).
-    Returns (dpix (T, P, NUM_OUT), metrics dict of scalars: the same keys
+    out: (T, NUM_OUT, P) planar rasterizer forward tiles; target:
+    (H, W, 3).  Returns (dpix (T, NUM_OUT, P), metrics dict of scalars: the same keys
     as ops.loss.loss_metrics).
 
     The full frame is the one-band special case of the band-sharded
@@ -227,7 +228,7 @@ def tile_loss_gradient(out: jax.Array, target: jax.Array, img_w: int,
     """
     eb = HALF * settings.tile_w
     dpix, sums = band_tile_loss_gradient(
-        out, out[:ntx, :eb, :], out[:ntx, :eb, :], target,
+        out, out[:ntx, :, :eb], out[:ntx, :, :eb], target,
         jnp.zeros((), jnp.int32), img_w, img_h, ntx, nty, cfg, settings)
     return dpix, metrics_from_sums(jnp.sum(sums, axis=0), cfg)
 
@@ -250,18 +251,18 @@ def metrics_from_sums(tot: jax.Array, cfg: LossConfig) -> dict:
 
 
 def halo_slices(out: jax.Array, ntx: int, settings: RenderSettings):
-    """The two (ntx, HALF*tw, NUM_OUT) boundary slices a vertical neighbor
+    """The two (ntx, NUM_OUT, HALF*tw) boundary slices a vertical neighbor
     band needs from this band: (bottom slice of the LAST tile row, top
     slice of the FIRST tile row).  These are what the caller ppermutes —
     the kernel reads nothing else of the neighbor bands, so shipping full
     tile rows would move tile_h/HALF x the required ICI bytes."""
     th, tw = settings.tile_h, settings.tile_w
-    t4 = out.reshape(out.shape[0], th, tw, NUM_OUT)
-    bot, top = t4[-ntx:, -HALF:, :, :], t4[:ntx, :HALF, :, :]
+    t4 = out.reshape(out.shape[0], NUM_OUT, th, tw)
+    bot, top = t4[-ntx:, :, -HALF:, :], t4[:ntx, :, :HALF, :]
     # shape from the slice, not ntx: callers may pass an empty buffer when
     # probing past a frame border (the slices are discarded there)
-    return (bot.reshape(bot.shape[0], HALF * tw, NUM_OUT),
-            top.reshape(top.shape[0], HALF * tw, NUM_OUT))
+    return (bot.reshape(bot.shape[0], NUM_OUT, HALF * tw),
+            top.reshape(top.shape[0], NUM_OUT, HALF * tw))
 
 
 def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
@@ -272,8 +273,8 @@ def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
     """Band-sharded variant: pixel cotangent for ONE device's band of tile
     rows, given the 2-pixel boundary slices from the neighbor bands.
 
-    out: (rows*ntx, P, NUM_OUT) this band's rasterizer tiles; halo_top /
-    halo_bot: (ntx, HALF*tw, NUM_OUT) — the band above's bottom slice and
+    out: (rows*ntx, NUM_OUT, P) this band's planar rasterizer tiles;
+    halo_top / halo_bot: (ntx, NUM_OUT, HALF*tw) — the band above's bottom slice and
     the band below's top slice (:func:`halo_slices`, ppermuted over the
     band axis by the caller).  ``row_base``: global tile row of ``out``'s
     first row — a traced per-device scalar (enters the kernel through
@@ -286,7 +287,7 @@ def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
     Rows of padding bands beyond the frame produce zero gradient and zero
     metric sums (their valid mask is empty).
 
-    Returns (dpix (rows*ntx, P, NUM_OUT), sums (rows, 8) per-tile-row
+    Returns (dpix (rows*ntx, NUM_OUT, P), sums (rows, 8) per-tile-row
     metric partials — psum ``sums.sum(0)`` over the band axis and feed
     :func:`metrics_from_sums`).
     """
@@ -317,9 +318,9 @@ def band_tile_loss_gradient(out: jax.Array, halo_top: jax.Array,
     below_t = jnp.concatenate([band_t[1:, :, :HALF, :], below_rt], axis=0)
 
     def halo_rowplanar(h):
-        # (ntx, HALF*tw, NUM_OUT) -> (1, NUM_OUT, HALF, wp)
-        h4 = h.reshape(ntx, HALF, tw, NUM_OUT)
-        return h4.transpose(3, 1, 0, 2).reshape(1, NUM_OUT, HALF, wp)
+        # (ntx, NUM_OUT, HALF*tw) -> (1, NUM_OUT, HALF, wp)
+        h4 = h.reshape(ntx, NUM_OUT, HALF, tw)
+        return h4.transpose(1, 2, 0, 3).reshape(1, NUM_OUT, HALF, wp)
 
     # per-row vertical-neighbor slices: above[r] = bottom 2 px of the tile
     # row above, below[r] = top 2 px of the row below

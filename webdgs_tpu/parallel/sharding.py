@@ -552,7 +552,7 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
         perm_dn = [(i, (i - 1) % d) for i in range(d)]
         if supports_tile_loss(img_w, img_h, settings):
             # ---- tile-space band loss: the cotangent is computed directly
-            # on this band's (T, P, 8) tile buffer; the 5x5 DSSIM window
+            # on this band's (T, 8, P) planar tile buffer; the 5x5 DSSIM
             # support crosses band borders through ONE ppermuted 2-pixel
             # boundary slice per direction (the only neighbor bytes the
             # kernel reads).  No band-image assembly, no re-tile transpose,
