@@ -155,3 +155,49 @@ def test_tile_cull_image_identical(seed, n, w, h):
     assert offs[-1] == total
     np.testing.assert_array_equal(np.diff(offs), counts)
     assert counts.sum() == total
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_tile_cull_image_identical_near_threshold(seed):
+    """Property sweep of the cull's conservatism margins (ADVICE r3): the
+    image-identical guarantee rests on empirical slack (qthr*(1+1e-5)+1e-4,
+    qmin*(1-2^-12), 1e-3 px extent slack) against the kernel's
+    independently-rounded f32 alpha, not on derived error bounds.  Drive
+    opacities densely THROUGH the alpha_min boundary — max splat alpha in
+    [0.3x, 3x] alpha_min — where a margin failure would cull a pair the
+    kernel keeps at one boundary pixel, and require bitwise-identical
+    images."""
+    import jax.numpy as jnp
+    import math
+
+    from webdgs_tpu.ops import rasterize as raster_ops
+    from webdgs_tpu.render.renderer import render_from_attrs
+
+    n, w, h = 400, 96, 64
+    settings_on = RenderSettings(chunk=128, tile_cull=True)
+    settings_off = RenderSettings(chunk=128, tile_cull=False)
+    scene = random_scene(n, seed=seed)
+    # peak alpha = sigmoid(logit): put it log-uniformly in
+    # [0.3, 3] * alpha_min so many pairs straddle the cull threshold
+    rng = np.random.default_rng(100 + seed)
+    peak = (1.0 / 255.0) * np.exp(rng.uniform(math.log(0.3), math.log(3.0),
+                                              n))
+    logits = np.log(peak / (1.0 - peak)).astype(np.float32)
+    scene = scene.replace(opacity_logits=jnp.asarray(logits))
+    cam = default_camera(w, h, position=(0.0, 0.0, -5.0))
+    attrs, aux = project_gaussians(scene.params(), scene.alive, cam, w, h,
+                                   scene.sh_deg, settings_on)
+    ntx, nty = tile_grid(w, h, settings_on)
+
+    def run(settings):
+        out, bins = render_from_attrs(attrs, aux, w, h, settings)
+        img = raster_ops.composite_background(
+            raster_ops.tiles_to_image(out, ntx, nty, w, h, settings),
+            settings)
+        return np.asarray(img), bins
+
+    img_on, bins_on = run(settings_on)
+    img_off, bins_off = run(settings_off)
+    # near-threshold scenes cull heavily; require real coverage
+    assert int(bins_on.total_entries) < int(bins_off.total_entries)
+    np.testing.assert_array_equal(img_on, img_off)

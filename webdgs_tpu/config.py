@@ -113,6 +113,16 @@ class RenderSettings:
     # (tiled-forward.wgsl:298-354) over-covers by ~24% at the bench scene
     # and every O(entries) stage (sort, gathers, kernels, adaptive
     # capacity) shrinks with the cull.  Off = reference-exact rect binning.
+    # Epsilon-class assumption: the cull's conservatism margins
+    # (qthr*(1+1e-5)+1e-4, qmin*(1-2^-12), 1e-3 px extent slack;
+    # ops/binning.py:_cull_bitmask) are empirical slack against the
+    # kernel's independently-rounded f32 alpha evaluation, not derived
+    # error bounds — a pair whose max alpha sits within ~2^-12 of
+    # alpha_min could in principle be culled while the kernel would have
+    # kept it at one pixel (an alpha_min-scale contribution).  A
+    # randomized sweep of opacities through the alpha_min boundary
+    # (tests/test_binning.py::test_tile_cull_image_identical_near_threshold)
+    # empirically bounds the margin: no discrepancy observed.
     tile_cull: bool = True
     # Gather the backward pass's per-entry gradient rows at f16 width in
     # the expansion-order permutation (ops/rasterize.py:

@@ -256,7 +256,11 @@ def render_gaussian_sharded(scene: GaussianScene, camera: Camera,
         attrs, aux = project_gaussians(scene_l.params(), scene_l.alive,
                                        camera, img_w, img_h, scene_l.sh_deg,
                                        settings)
-        key, g, _, _, _, _ = binning_ops.expand_entries(aux, ntx, e_loc)
+        # the tile cull is per-Gaussian, so it shards cleanly over the
+        # gaussian axis: culled pairs are never packed or exchanged
+        # (image-identical, same guarantee as the single-device path)
+        key, g, _, _, _, _ = binning_ops.expand_entries(
+            aux, ntx, e_loc, attrs=attrs, settings=settings)
         skey, sg = jax.lax.sort((key, g), num_keys=1)
 
         # sorted by tile => grouped by destination band (bands are
@@ -476,8 +480,11 @@ def gs_train_step(scene: GaussianScene, opt_state: AdamState,
         attrs, vjp_proj, aux = jax.vjp(proj_fn, params_l, has_aux=True)
 
         # ---- non-differentiable index plumbing (from aux, as in the
-        # single-device split: binning is data, not differentiated) ----
-        key, g, _, _, _, _ = binning_ops.expand_entries(aux, ntx, e_loc)
+        # single-device split: binning is data, not differentiated; the
+        # per-Gaussian tile cull shards cleanly and is detached inside
+        # _cull_bitmask) ----
+        key, g, _, _, _, _ = binning_ops.expand_entries(
+            aux, ntx, e_loc, attrs=attrs, settings=settings)
         skey, sg = jax.lax.sort((key, g), num_keys=1)
         band_bound_keys = (jnp.arange(d + 1, dtype=jnp.uint32)
                            * jnp.uint32(band_tiles)) << 16

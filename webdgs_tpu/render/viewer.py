@@ -204,12 +204,24 @@ def frames_to_video(frame_paths: list[str], out_path: str | os.PathLike,
     if not out_path.lower().endswith(".gif"):
         import shutil
         import subprocess
+        import tempfile
         if shutil.which("ffmpeg"):
-            pattern = os.path.join(os.path.dirname(frame_paths[0]),
-                                   "frame_%04d.png")
-            subprocess.run(
-                ["ffmpeg", "-y", "-loglevel", "error", "-framerate", str(fps),
-                 "-i", pattern, "-pix_fmt", "yuv420p", out_path], check=True)
+            # feed the EXACT frame list via the concat demuxer — a
+            # frame_%04d.png glob would silently sweep up stale frames
+            # from a previous longer orbit in the same directory
+            with tempfile.NamedTemporaryFile(
+                    "w", suffix=".txt", delete=False) as lf:
+                for fp in frame_paths:
+                    lf.write(f"file '{os.path.abspath(fp)}'\n")
+                    lf.write(f"duration {1.0 / fps}\n")
+                list_path = lf.name
+            try:
+                subprocess.run(
+                    ["ffmpeg", "-y", "-loglevel", "error", "-f", "concat",
+                     "-safe", "0", "-i", list_path, "-vf", f"fps={fps}",
+                     "-pix_fmt", "yuv420p", out_path], check=True)
+            finally:
+                os.unlink(list_path)
             return out_path
         out_path = os.path.splitext(out_path)[0] + ".gif"
     from PIL import Image
