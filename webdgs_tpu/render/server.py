@@ -41,7 +41,8 @@ canvas { display:block; margin:0 auto; }
 </style></head><body>
 <div id="hud">webdgs_tpu &mdash; WASD/Space/Ctrl move &middot; drag look
 &middot; Q/E roll &middot; wheel dolly &middot; P point mode &middot; L loss view
-&middot; [/] splat scale &middot; C config
+&middot; [/] splat scale &middot; C config &middot; drop a .ply / points3D.bin
+to load it
 <span id="stats"></span></div>
 <div id="cfg" style="display:none; position:fixed; top:28px; left:8px;
 background:#1b1b1bee; padding:8px 12px; border:1px solid #333;"></div>
@@ -168,6 +169,36 @@ c.onpointermove = e => {
 };
 c.onwheel = e => { e.preventDefault(); post({wheel: e.deltaY}); };
 function post(o) { fetch('/control', {method:'POST', body:JSON.stringify(o)}); }
+// in-browser scene loading, the reference's file-input/drag-drop entry
+// point (main.ts:234-503, load.ts:6): drop a .ply or points3D.bin on the
+// page and the live scene swaps without a process restart
+const upMsg = document.createElement('span');
+document.getElementById('hud').appendChild(upMsg);
+async function upload(f) {
+  upMsg.textContent = ` | loading ${f.name}...`;
+  try {
+    const r = await fetch('/upload?name=' + encodeURIComponent(f.name),
+                          {method: 'POST', body: f});
+    const j = await r.json();
+    upMsg.textContent = r.ok ? ` | loaded ${f.name} (${j.points} pts)`
+                             : ` | upload failed: ${j.error}`;
+  } catch (e) { upMsg.textContent = ` | upload failed: ${e}`; }
+  setTimeout(() => upMsg.textContent = '', 5000);
+}
+document.body.ondragover = e => e.preventDefault();
+document.body.ondrop = e => {
+  e.preventDefault();
+  if (e.dataTransfer.files.length) upload(e.dataTransfer.files[0]);
+};
+// click-to-browse fallback in the config panel (the reference's
+// <input type=file>, index.html)
+const fileRow = document.createElement('div');
+fileRow.innerHTML = `<label style="display:inline-block;width:130px">scene file</label>
+  <input type="file" accept=".ply,.bin" style="width:220px">`;
+fileRow.querySelector('input').onchange = e => {
+  if (e.target.files.length) upload(e.target.files[0]);
+};
+cfgDiv.appendChild(fileRow);
 setInterval(() => {
   const m = {move:[!!keys.KeyW,!!keys.KeyS,!!keys.KeyA,!!keys.KeyD,
                    !!keys.Space,!!keys.ControlLeft||!!keys.ControlRight],
@@ -274,6 +305,10 @@ class ViewerServer:
         self._holdout_groups: dict | None = None  # grouped once, first eval
         self.holdout_psnr: float | None = None
         self._shutdown = threading.Event()
+        # serializes trainer-STATE mutation (scene/opt swaps) against an
+        # in-flight step: without it an upload's resume_from would be
+        # overwritten by the concurrent step's `self.scene = ...` result
+        self._step_lock = threading.Lock()
         self._train_thread: threading.Thread | None = None
         if trainer is not None:
             self._train_thread = threading.Thread(
@@ -291,7 +326,8 @@ class ViewerServer:
                 self._shutdown.wait(0.05)
                 continue
             try:
-                tr.step()
+                with self._step_lock:
+                    tr.step()
                 if (self.holdout is not None
                         and tr.iteration % self.HOLDOUT_EVAL_EVERY == 0):
                     if self._holdout_groups is None:
@@ -315,6 +351,35 @@ class ViewerServer:
             # frame renderer is a single atomic attribute store (the
             # analogue of the reference's pointcloud swap, main.ts:508)
             self.viewer.set_point_cloud(tr.scene)
+
+    def handle_upload(self, name: str, data: bytes) -> dict:
+        """Adopt an uploaded scene file — the reference's in-browser
+        file-input/drag-drop entry point (src/main.ts:234-503 wires file
+        inputs through load(file) -> setPointCloud; src/utils/load.ts:6
+        dispatches on magic bytes).  Accepts what the reference's
+        pointcloud loader accepts: binary PLY and COLMAP points3D.bin
+        (load-pointcloud.ts:29).  With a trainer attached, training
+        restarts from the new points (trainer.setPointCloud semantics:
+        fresh optimizer state, iteration 0)."""
+        from webdgs_tpu.io.ply import load_point_cloud
+        scene = load_point_cloud(data)
+        n = int(scene.num_alive())
+        if self.trainer is not None:
+            with self._state_lock:
+                was_training = self.training
+                self.training = False
+            # wait out any in-flight step, then swap under the step lock so
+            # a racing step cannot publish the OLD scene over the new one
+            with self._step_lock:
+                self.trainer.resume_from(scene, None, 0)
+                scene = self.trainer.scene  # the capacity-padded copy
+            with self._state_lock:
+                self.train_error = None
+                self.training = was_training
+        with self.lock:
+            self.viewer.set_point_cloud(scene)
+            self.viewer.frame_scene()
+        return {"name": name, "points": n}
 
     def toggle_training(self) -> bool:
         if self.trainer is None:
@@ -534,6 +599,20 @@ def make_http_server(vs: ViewerServer, host: str, port: int):
                 body = (json.dumps({"unknown_keys": unknown}).encode()
                         if unknown else b"{}")
                 self._send(200, body, "application/json")
+            elif self.path.startswith("/upload"):
+                from urllib.parse import parse_qs, urlparse
+                q = parse_qs(urlparse(self.path).query)
+                name = (q.get("name") or ["scene"])[0]
+                length = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(length)
+                try:
+                    out = vs.handle_upload(name, data)
+                    self._send(200, json.dumps(out).encode(),
+                               "application/json")
+                except Exception as e:  # malformed file: report, keep scene
+                    self._send(400, json.dumps(
+                        {"error": f"{type(e).__name__}: {e}"}).encode(),
+                        "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
 
