@@ -334,3 +334,29 @@ def _project_gaussians_impl(params, alive, camera, img_w, img_h, sh_deg,
         radius_capped=radius_capped & visible,
     )
     return attrs, aux
+
+
+def restrict_aux_to_band(aux: SplatAux, row0, rows: int) -> SplatAux:
+    """Clip each Gaussian's tile rect to tile rows [row0, row0+rows) and
+    rebase tile ids to the band.
+
+    Shared by the tile-sharded multi-chip renderer (each device owns a
+    band) and the single-chip serial-band renderer (frames whose tile
+    grid exceeds the 16-bit tile-key ceiling are rendered band by band).
+    ``row0`` may be a traced scalar so one compile serves every band.
+    """
+    ty0 = aux.tile_min[:, 1]
+    ty1 = ty0 + aux.tile_dims[:, 1] - 1
+    ny0 = jnp.maximum(ty0, row0)
+    ny1 = jnp.minimum(ty1, row0 + rows - 1)
+    tiles_y = ny1 - ny0 + 1
+    overlap = tiles_y > 0
+    visible = aux.visible & overlap
+    tiles_y = jnp.where(visible, tiles_y, 0)
+    tile_min = jnp.stack([aux.tile_min[:, 0],
+                          jnp.maximum(ny0 - row0, 0)], axis=-1)
+    tile_dims = jnp.stack([aux.tile_dims[:, 0], tiles_y], axis=-1)
+    num_tiles = jnp.where(visible, aux.tile_dims[:, 0] * tiles_y, 0)
+    return SplatAux(depth=aux.depth, visible=visible, tile_min=tile_min,
+                    tile_dims=tile_dims, num_tiles=num_tiles,
+                    radius_capped=aux.radius_capped)

@@ -36,7 +36,8 @@ from webdgs_tpu.ops import binning as binning_ops
 from webdgs_tpu.ops import rasterize as raster_ops
 from webdgs_tpu.ops.adam import AdamHyperparameters, AdamState, adam_step
 from webdgs_tpu.ops.loss import LossConfig, loss_metrics, ssim_map
-from webdgs_tpu.ops.projection import SplatAux, project_gaussians
+from webdgs_tpu.ops.projection import (SplatAux, project_gaussians,
+                                       restrict_aux_to_band)
 from webdgs_tpu.ops.tile_loss import supports_tile_loss
 from webdgs_tpu.train.step import (compute_param_grads,
                                    compute_param_grads_tiled)
@@ -128,24 +129,9 @@ def dp_train_step(scene: GaussianScene, opt_state: AdamState,
 # tile-sharded rendering
 # ---------------------------------------------------------------------------
 
-def _restrict_aux_to_band(aux: SplatAux, row0: int, rows: int) -> SplatAux:
-    """Clip each Gaussian's tile rect to tile rows [row0, row0+rows) and
-    rebase tile ids to the band."""
-    ty0 = aux.tile_min[:, 1]
-    ty1 = ty0 + aux.tile_dims[:, 1] - 1
-    ny0 = jnp.maximum(ty0, row0)
-    ny1 = jnp.minimum(ty1, row0 + rows - 1)
-    tiles_y = ny1 - ny0 + 1
-    overlap = tiles_y > 0
-    visible = aux.visible & overlap
-    tiles_y = jnp.where(visible, tiles_y, 0)
-    tile_min = jnp.stack([aux.tile_min[:, 0],
-                          jnp.maximum(ny0 - row0, 0)], axis=-1)
-    tile_dims = jnp.stack([aux.tile_dims[:, 0], tiles_y], axis=-1)
-    num_tiles = jnp.where(visible, aux.tile_dims[:, 0] * tiles_y, 0)
-    return SplatAux(depth=aux.depth, visible=visible, tile_min=tile_min,
-                    tile_dims=tile_dims, num_tiles=num_tiles,
-                    radius_capped=aux.radius_capped)
+# band-restrict now lives in ops/projection.py (shared with the
+# single-chip serial-band renderer); kept under the old name for callers
+_restrict_aux_to_band = restrict_aux_to_band
 
 
 def render_tile_sharded(scene: GaussianScene, camera: Camera, img_w: int,

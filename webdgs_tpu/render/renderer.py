@@ -19,7 +19,9 @@ from webdgs_tpu.core.camera import Camera
 from webdgs_tpu.core.scene import GaussianScene
 from webdgs_tpu.ops import binning as binning_ops
 from webdgs_tpu.ops import rasterize as raster_ops
-from webdgs_tpu.ops.projection import SplatAttrs, SplatAux, project_gaussians
+from webdgs_tpu.ops.projection import (SplatAttrs, SplatAux,
+                                       project_gaussians,
+                                       restrict_aux_to_band)
 
 
 class RenderResult(NamedTuple):
@@ -122,6 +124,76 @@ def render(scene: GaussianScene, camera: Camera, img_w: int, img_h: int,
         aux=aux,
         binning=bins,
     )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "img_w", "img_h", "rows", "ntx", "settings", "entry_capacity"))
+def _render_band(scene: GaussianScene, camera: Camera, row0: jax.Array,
+                 img_w: int, img_h: int, rows: int, ntx: int,
+                 settings: RenderSettings, entry_capacity: int | None,
+                 gaussian_scaling: jax.Array) -> jax.Array:
+    """One horizontal band of ``rows`` tile rows starting at tile row
+    ``row0`` (traced — a single compile serves every band)."""
+    band_h = rows * settings.tile_h
+    attrs, aux = project_gaussians(scene.params(), scene.alive, camera,
+                                   img_w, img_h, scene.sh_deg, settings,
+                                   gaussian_scaling=gaussian_scaling)
+    aux_b = restrict_aux_to_band(aux, row0, rows)
+    # shift splat centers into band pixel coordinates so the kernel's
+    # tile->pixel mapping stays band-local (same trick as the multi-chip
+    # tile-sharded renderer, parallel/sharding.py:render_tile_sharded)
+    shift = (row0 * settings.tile_h).astype(jnp.float32)
+    attrs_b = attrs._replace(center_px=attrs.center_px
+                             - jnp.stack([jnp.zeros_like(shift), shift])[None])
+    bins = binning_ops.bin_splats(aux_b, img_w, band_h, settings,
+                                  capacity=entry_capacity,
+                                  with_source=False, attrs=attrs_b)
+    attrs16 = raster_ops.pack_entry_attrs(attrs_b, bins.entry_gauss,
+                                          bins.entry_valid, settings)
+    out = raster_ops.rasterize_tiles(attrs16, bins.tile_offsets, ntx, rows,
+                                     settings)
+    tiles = raster_ops.tiles_to_image(out, ntx, rows, img_w, band_h,
+                                      settings)
+    return raster_ops.composite_background(tiles, settings)
+
+
+def render_banded(scene: GaussianScene, camera: Camera, img_w: int,
+                  img_h: int, settings: RenderSettings = DEFAULT_SETTINGS,
+                  entry_capacity: int | None = None,
+                  gaussian_scaling: jax.Array | float | None = None,
+                  bands: int | None = None):
+    """Single-chip render of frames whose tile grid exceeds the 16-bit
+    tile-key ceiling (``binning.check_tile_key_limit``): the tile rows are
+    split into serial horizontal bands, each under the ceiling, rendered
+    with the standard pipeline and concatenated.
+
+    The reference shares the same 16-bit key layout and simply cannot
+    render such frames (src/shaders/tiled-forward.wgsl:133-136); multi-chip
+    deployments use ``render_tile_sharded`` instead (one band per device).
+    ``bands=None`` picks the minimum band count (1 below the ceiling, where
+    this is exactly ``render(...).image``).  Returns the (img_h, W, 3)
+    composited image.
+    """
+    ntx, nty = binning_ops.tile_grid(img_w, img_h, settings)
+    if bands is None:
+        rows_max = max(0xFFFE // ntx, 1)
+        bands = -(-nty // rows_max)
+    if bands <= 1:
+        return render_compiled(scene, camera, img_w=img_w, img_h=img_h,
+                               settings=settings,
+                               entry_capacity=entry_capacity,
+                               gaussian_scaling=jnp.float32(
+                                   1.0 if gaussian_scaling is None
+                                   else gaussian_scaling)).image
+    rows = -(-nty // bands)
+    binning_ops.check_tile_key_limit(ntx * rows)
+    gsc = jnp.float32(1.0 if gaussian_scaling is None else gaussian_scaling)
+    parts = [_render_band(scene, camera, jnp.int32(b * rows), img_w=img_w,
+                          img_h=img_h, rows=rows, ntx=ntx, settings=settings,
+                          entry_capacity=entry_capacity,
+                          gaussian_scaling=gsc)
+             for b in range(bands)]
+    return jnp.concatenate(parts, axis=0)[:img_h]
 
 
 # Jitted entry points for EAGER callers (viewer frames, orbit export,

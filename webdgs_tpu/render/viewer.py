@@ -15,7 +15,8 @@ from webdgs_tpu.config import (DEFAULT_SETTINGS, RenderSettings,
 from webdgs_tpu.core.camera import Camera, CameraData, make_camera
 from webdgs_tpu.core.scene import GaussianScene
 from webdgs_tpu.render.camera_control import FlyCamera
-from webdgs_tpu.render.renderer import render_compiled, render_points_compiled
+from webdgs_tpu.render.renderer import (render_banded, render_compiled,
+                                        render_points_compiled)
 
 
 def save_png(path: str | os.PathLike, image: np.ndarray) -> None:
@@ -125,6 +126,13 @@ class Viewer:
                 point_size_px=np.float32(self.point_size_px),
                 gaussian_scaling=gsc)
             return np.asarray(img)
+        from webdgs_tpu.ops.binning import tile_grid
+        ntx, nty = tile_grid(w, h, self.settings)
+        if ntx * nty >= 0xFFFF:
+            # above the 16-bit tile-key ceiling (4K+ frames): serial bands
+            return np.asarray(render_banded(
+                self.scene, cam, w, h, self.settings,
+                entry_capacity=self._entry_cap, gaussian_scaling=gsc))
         res = render_compiled(self.scene, cam, img_w=w, img_h=h,
                               settings=self.settings,
                               entry_capacity=self._entry_cap,
