@@ -137,10 +137,15 @@ def _repeat_ids(counts: jax.Array, total_len: int) -> jax.Array:
     return jnp.maximum(jax.lax.cummax(seed) - 1, 0)
 
 
+# tile ids share a u32 key with 16 depth bits, like the reference's
+# (tile+1)<<16 keys (tiled-forward.wgsl:133-136): ~4K x 4K images max.
+# Module attribute (not inlined) so tests can lower it to exercise the
+# banded fallback at CPU-sized frames.
+TILE_KEY_LIMIT = 0xFFFF
+
+
 def check_tile_key_limit(total_tiles: int) -> None:
-    if total_tiles >= 0xFFFF:
-        # tile ids share a u32 key with 16 depth bits, like the reference's
-        # (tile+1)<<16 keys (tiled-forward.wgsl:133-136): ~4K x 4K images max
+    if total_tiles >= TILE_KEY_LIMIT:
         raise ValueError(
             f"{total_tiles} tiles exceeds the 16-bit tile-key limit; "
             "increase tile size or shard the image")

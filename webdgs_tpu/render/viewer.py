@@ -120,19 +120,33 @@ class Viewer:
         h = max(1, self.height // downscale)
         cam = self.camera(w, h)
         gsc = np.float32(self.gaussian_scaling)
+        from webdgs_tpu.ops import binning as binning_ops
+        ntx, nty = binning_ops.tile_grid(w, h, self.settings)
+        if ntx * nty >= binning_ops.TILE_KEY_LIMIT:
+            # above the 16-bit tile-key ceiling (4K+ frames): serial bands.
+            # Both modes route here — pointcloud through the plain path
+            # would raise check_tile_key_limit (ADVICE r4).
+            img, observed = render_banded(
+                self.scene, cam, w, h, self.settings,
+                entry_capacity=self._entry_cap, gaussian_scaling=gsc,
+                mode=self.render_mode,
+                point_size_px=np.float32(self.point_size_px),
+                return_entries=True)
+            # adapt to the max per-band demand: the banded path serves
+            # exactly the always-above-ceiling viewports where the plain
+            # branch's adaptation never runs (ADVICE r4 medium).  Like the
+            # plain branch, only full-resolution frames adapt — a motion-
+            # downscaled frame's smaller demand must not shrink the cap
+            # out from under the next full frame.
+            if observed is not None and downscale == 1:
+                self._adapt_entry_cap(int(observed))
+            return np.asarray(img)
         if self.render_mode == "pointcloud":
             img = render_points_compiled(
                 self.scene, cam, img_w=w, img_h=h, settings=self.settings,
                 point_size_px=np.float32(self.point_size_px),
                 gaussian_scaling=gsc)
             return np.asarray(img)
-        from webdgs_tpu.ops.binning import tile_grid
-        ntx, nty = tile_grid(w, h, self.settings)
-        if ntx * nty >= 0xFFFF:
-            # above the 16-bit tile-key ceiling (4K+ frames): serial bands
-            return np.asarray(render_banded(
-                self.scene, cam, w, h, self.settings,
-                entry_capacity=self._entry_cap, gaussian_scaling=gsc))
         res = render_compiled(self.scene, cam, img_w=w, img_h=h,
                               settings=self.settings,
                               entry_capacity=self._entry_cap,
@@ -141,16 +155,18 @@ class Viewer:
             # expansion_entries, not total_entries: the latter saturates
             # at the current capacity under overflow drops, so adaptation
             # must observe the pre-drop demand to see real pressure
-            observed = int(res.binning.expansion_entries)
-            chunk = self.settings.chunk
-            # rung-quantized (geometric ladder): every distinct capacity is
-            # a fresh render compile — a slowly growing scene (live
-            # training) must not recompile the viewer every few frames
-            want = quantize_budget(observed * 1.5, chunk, chunk * 8)
-            if self._entry_cap is None or want > self._entry_cap or \
-                    want < self._entry_cap // 3:
-                self._entry_cap = want
+            self._adapt_entry_cap(int(res.binning.expansion_entries))
         return np.asarray(res.image)
+
+    def _adapt_entry_cap(self, observed: int) -> None:
+        chunk = self.settings.chunk
+        # rung-quantized (geometric ladder): every distinct capacity is
+        # a fresh render compile — a slowly growing scene (live
+        # training) must not recompile the viewer every few frames
+        want = quantize_budget(observed * 1.5, chunk, chunk * 8)
+        if self._entry_cap is None or want > self._entry_cap or \
+                want < self._entry_cap // 3:
+            self._entry_cap = want
 
 
 def orbit_cameras(center, radius: float, n_frames: int, width: int,
