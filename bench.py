@@ -23,6 +23,7 @@ The declared metric in BASELINE.json is "train iters/sec + rendered
 Mpix/sec/chip"; both appear in the JSON line below.
 """
 
+import functools
 import json
 import os
 import time
@@ -62,23 +63,31 @@ def main():
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(timeout=float(os.environ.get("WEBDGS_BENCH_PROBE_S", "300")))
+    # 120 s default (was 300): the driver's own timeout must not fire
+    # first, or an outage records rc=124 silence instead of this
+    # explanatory line (VERDICT r4 next-round task 1)
+    probe_s = float(os.environ.get("WEBDGS_BENCH_PROBE_S", "120"))
+    t.join(timeout=probe_s)
     if not probe_ok.is_set():
         print(json.dumps({
             "metric": "train_iters_per_sec_100k_splats_800x600_v5e1",
             "value": None,
             "unit": "iters/s",
-            "error": "TPU backend unreachable (jax.devices() hung >300s); "
-                     "see RESULTS.md round-2 outage note",
+            "error": f"TPU backend unreachable (jax.devices() hung "
+                     f">{probe_s:.0f}s); see RESULTS.md round-2 outage note",
         }))
         raise SystemExit(1)
+
+    def stage(msg):
+        import sys
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
     import jax.numpy as jnp
 
     from webdgs_tpu.config import RenderSettings
     from webdgs_tpu.core.camera import default_camera
     from webdgs_tpu.ops.adam import init_adam_state
-    from webdgs_tpu.render.renderer import render, render_compiled
+    from webdgs_tpu.render.renderer import render_compiled
     from webdgs_tpu.train.step import train_step
 
     n = 500 if tiny else 100_000
@@ -119,7 +128,11 @@ def main():
         settings = RenderSettings(chunk=chunk)
     cam = default_camera(w, h, position=(0.0, 0.0, -8.0))
 
-    target = render(scene, cam, w, h, settings).image
+    stage("rendering target frame")
+    # render_compiled, not bare render: the eager path dispatches every op
+    # as its own TPU program (see the capacity-probe note below)
+    target = render_compiled(scene, cam, img_w=w, img_h=h,
+                             settings=settings).image
     opt = init_adam_state(scene.params())
 
     # entry capacity at 1.2x the observed per-frame entries, matching the
@@ -130,17 +143,21 @@ def main():
     # against drop/recompile frequency (measured on chip: 1.0x 44.0 it/s,
     # 1.15x 41.8, 1.3x 39.1, 1.5x 35.7 at the 100k shape).
     capx = float(os.environ.get("WEBDGS_BENCH_CAPX", "1.2"))
-    _, _, m0 = train_step(scene, opt, cam, target, img_w=w, img_h=h,
-                          settings=settings)
+    stage("capacity probe (1 jitted step at heuristic capacity)")
+    # jitted: an EAGER train_step dispatches hundreds of ops, each its own
+    # TPU program compile over the tunnel — observed to blow clean through
+    # the driver timeout when the compilation cache is cold (round-4/5)
+    probe_step = jax.jit(functools.partial(
+        train_step, img_w=w, img_h=h, settings=settings))
+    _, _, m0 = probe_step(scene, opt, cam, target)
     observed = float(m0["tile_entries"])
+    stage(f"observed {observed:.0f} entries; compiling bench step")
     cap = max(-int(-observed * capx // settings.chunk) * settings.chunk,
               settings.chunk * 8)
 
     # donate scene+opt: the steady-state Trainer loop holds no other refs
     # to the previous step's state, so the bench aliases buffers the same
     # way (one live copy of params+moments, not input+output)
-    import functools
-
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(s, o):
         return train_step(s, o, cam, target, img_w=w, img_h=h,
@@ -148,6 +165,7 @@ def main():
 
     s, o, _ = step(scene, opt)  # compile (donates scene/opt; use s/o below)
     _ = float(jnp.sum(s.means))  # sync
+    stage("timing train steps")
 
     iters = 3 if tiny else 20
     t0 = time.perf_counter()

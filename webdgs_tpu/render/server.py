@@ -42,7 +42,8 @@ canvas { display:block; margin:0 auto; }
 <div id="hud">webdgs_tpu &mdash; WASD/Space/Ctrl move &middot; drag look
 &middot; Q/E roll &middot; wheel dolly &middot; P point mode &middot; L loss view
 &middot; [/] splat scale &middot; C config &middot; drop a .ply / points3D.bin
-to load it
+to load it (or a whole COLMAP dataset &mdash; points + cameras.bin +
+images.bin + images &mdash; to train)
 <span id="stats"></span></div>
 <div id="cfg" style="display:none; position:fixed; top:28px; left:8px;
 background:#1b1b1bee; padding:8px 12px; border:1px solid #333;"></div>
@@ -175,28 +176,46 @@ function post(o) { fetch('/control', {method:'POST', body:JSON.stringify(o)}); }
 const upMsg = document.createElement('span');
 document.getElementById('hud').appendChild(upMsg);
 async function upload(f) {
-  upMsg.textContent = ` | loading ${f.name}...`;
+  const r = await fetch('/upload?name=' + encodeURIComponent(f.name),
+                        {method: 'POST', body: f});
+  const j = await r.json();
+  if (!r.ok) throw new Error(j.error);
+  return j;
+}
+// multi-file batches (a whole COLMAP dataset at once): images stream
+// first, metadata last, then /upload_done assembles the dataset ONCE and
+// (in view-only sessions) starts training — the reference's three file
+// pickers (main.ts:405-458) collapsed into one drop target
+async function uploadAll(files) {
+  const meta = [], rest = [];
+  for (const f of files)
+    (/\\.(bin|json|ply)$/i.test(f.name) ? meta : rest).push(f);
+  const ordered = rest.concat(meta);
+  let last = null;
   try {
-    const r = await fetch('/upload?name=' + encodeURIComponent(f.name),
-                          {method: 'POST', body: f});
-    const j = await r.json();
-    upMsg.textContent = r.ok ? ` | loaded ${f.name} (${j.points} pts)`
-                             : ` | upload failed: ${j.error}`;
-  } catch (e) { upMsg.textContent = ` | upload failed: ${e}`; }
-  setTimeout(() => upMsg.textContent = '', 5000);
+    for (let i = 0; i < ordered.length; i++) {
+      upMsg.textContent = ` | loading ${ordered[i].name} (${i+1}/${ordered.length})...`;
+      last = await upload(ordered[i]);
+    }
+    const d = await (await fetch('/upload_done', {method:'POST'})).json();
+    upMsg.textContent = d.dataset && d.dataset !== 'no files staged'
+      ? ` | ${d.dataset}`
+      : (last && last.points != null ? ` | loaded ${last.points} pts` : ' | loaded');
+  } catch (e) { upMsg.textContent = ` | upload failed: ${e.message || e}`; }
+  setTimeout(() => upMsg.textContent = '', 8000);
 }
 document.body.ondragover = e => e.preventDefault();
 document.body.ondrop = e => {
   e.preventDefault();
-  if (e.dataTransfer.files.length) upload(e.dataTransfer.files[0]);
+  if (e.dataTransfer.files.length) uploadAll([...e.dataTransfer.files]);
 };
 // click-to-browse fallback in the config panel (the reference's
 // <input type=file>, index.html)
 const fileRow = document.createElement('div');
-fileRow.innerHTML = `<label style="display:inline-block;width:130px">scene file</label>
-  <input type="file" accept=".ply,.bin" style="width:220px">`;
+fileRow.innerHTML = `<label style="display:inline-block;width:130px">scene/dataset</label>
+  <input type="file" multiple accept=".ply,.bin,.json,.jpg,.jpeg,.png" style="width:220px">`;
 fileRow.querySelector('input').onchange = e => {
-  if (e.target.files.length) upload(e.target.files[0]);
+  if (e.target.files.length) uploadAll([...e.target.files]);
 };
 cfgDiv.appendChild(fileRow);
 setInterval(() => {
@@ -309,11 +328,20 @@ class ViewerServer:
         # in-flight step: without it an upload's resume_from would be
         # overwritten by the concurrent step's `self.scene = ...` result
         self._step_lock = threading.Lock()
+        # browser-uploaded dataset pieces (COLMAP camera metadata + ground-
+        # truth images) staged until a complete training set exists — the
+        # reference's camera-input/images-input file pickers
+        # (src/main.ts:405-458 -> trainer.setDataset)
+        self._dataset_stage: dict = {"extr": None, "intr": None,
+                                     "json": None, "imgs": {}}
         self._train_thread: threading.Thread | None = None
         if trainer is not None:
-            self._train_thread = threading.Thread(
-                target=self._train_loop, daemon=True, name="webdgs-train")
-            self._train_thread.start()
+            self._start_train_thread()
+
+    def _start_train_thread(self) -> None:
+        self._train_thread = threading.Thread(
+            target=self._train_loop, daemon=True, name="webdgs-train")
+        self._train_thread.start()
 
     # -- live training (reference main.ts:595-600: one step per frame) ----
     def _train_loop(self) -> None:
@@ -353,14 +381,57 @@ class ViewerServer:
             self.viewer.set_point_cloud(tr.scene)
 
     def handle_upload(self, name: str, data: bytes) -> dict:
-        """Adopt an uploaded scene file — the reference's in-browser
-        file-input/drag-drop entry point (src/main.ts:234-503 wires file
-        inputs through load(file) -> setPointCloud; src/utils/load.ts:6
-        dispatches on magic bytes).  Accepts what the reference's
-        pointcloud loader accepts: binary PLY and COLMAP points3D.bin
-        (load-pointcloud.ts:29).  With a trainer attached, training
-        restarts from the new points (trainer.setPointCloud semantics:
-        fresh optimizer state, iteration 0)."""
+        """Adopt an uploaded file — the reference's in-browser file-input/
+        drag-drop entry points (src/main.ts:234-503).  Three input classes,
+        matching the reference's three pickers:
+
+          * scene files (binary PLY / COLMAP points3D.bin, dispatched on
+            magic bytes like src/utils/load.ts:6): swap the live scene;
+            with a trainer attached, training restarts from the new points
+            (trainer.setPointCloud semantics: fresh optimizer, iteration 0);
+          * camera metadata (cameras.bin / images.bin / cameras .json,
+            dispatched on file NAME like load-camera.ts:25-47): staged;
+          * ground-truth images (.jpg/.png): staged by filename.
+
+        Once the staged set holds camera extrinsics and at least one image,
+        the dataset is assembled (name-paired like the CLI) and handed to
+        the trainer via ``set_dataset`` — or, in view-only serve mode, a
+        fresh Trainer is created from the current scene and training starts
+        entirely from the browser (the reference's main.ts:419,449 flow)."""
+        low = name.lower()
+        if low.endswith("cameras.bin"):
+            from webdgs_tpu.io.colmap import load_cameras_bin
+            with self._state_lock:
+                self._dataset_stage["intr"] = load_cameras_bin(data)
+                n = len(self._dataset_stage["intr"])
+            return {"name": name, "staged": "camera intrinsics",
+                    "count": n}
+        if low.endswith("images.bin"):
+            from webdgs_tpu.io.colmap import load_images_bin
+            with self._state_lock:
+                self._dataset_stage["extr"] = load_images_bin(data)
+                n = len(self._dataset_stage["extr"])
+            return {"name": name, "staged": "camera extrinsics",
+                    "count": n}
+        if low.endswith(".json"):
+            from webdgs_tpu.io.colmap import load_cameras_json
+            with self._state_lock:
+                self._dataset_stage["json"] = load_cameras_json(data)
+                n = len(self._dataset_stage["json"])
+            return {"name": name, "staged": "cameras (json)",
+                    "count": n}
+        if low.endswith((".jpg", ".jpeg", ".png")):
+            from PIL import Image
+            arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"),
+                             dtype=np.float32) / 255.0
+            import os
+            base = os.path.basename(name)
+            with self._state_lock:
+                self._dataset_stage["imgs"][base] = {
+                    "name": base, "image": arr,
+                    "width": arr.shape[1], "height": arr.shape[0]}
+                n = len(self._dataset_stage["imgs"])
+            return {"name": name, "staged": "image", "count": n}
         from webdgs_tpu.io.ply import load_point_cloud
         scene = load_point_cloud(data)
         n = int(scene.num_alive())
@@ -380,6 +451,66 @@ class ViewerServer:
             self.viewer.set_point_cloud(scene)
             self.viewer.frame_scene()
         return {"name": name, "points": n}
+
+    def _assemble_dataset(self) -> str:
+        """Try to build (cameras, images) from the staged uploads and hand
+        them to the trainer — creating one if this is a view-only session
+        (the reference requires a trainer to pre-exist; here 'drop COLMAP
+        files on the viewer' IS the training entry point).  Returns a
+        human-readable status for the upload response."""
+        with self._state_lock:
+            st = self._dataset_stage
+            extr, intr, js = st["extr"], st["intr"], st["json"]
+            imgs = dict(st["imgs"])
+        if extr is None and intr is None and js is None and not imgs:
+            return "no files staged"
+        if js is not None:
+            cams = js
+        elif extr is not None:
+            if intr is not None:
+                from webdgs_tpu.io.colmap import merge_extrinsics_intrinsics
+                cams = merge_extrinsics_intrinsics(extr, intr)
+            else:
+                cams = extr
+        else:
+            return "waiting for camera extrinsics (images.bin or .json)"
+        if not imgs:
+            return "waiting for ground-truth images"
+        from webdgs_tpu.io.images import numeric_key
+        # pair by exact filename when the metadata carries names (COLMAP
+        # images.bin always does); otherwise numeric-sorted index pairing,
+        # the CLI's (and reference's trainer.ts:573-575) convention
+        named = [(c, imgs[c.img_name]) for c in cams
+                 if c.img_name and c.img_name in imgs]
+        if named:
+            named.sort(key=lambda p: numeric_key(p[0].img_name))
+            cameras = [c for c, _ in named]
+            images = [m for _, m in named]
+        else:
+            cs = sorted(cams, key=lambda c: numeric_key(c.img_name or
+                                                        str(c.id)))
+            ms = sorted(imgs.values(), key=lambda m: numeric_key(m["name"]))
+            n = min(len(cs), len(ms))
+            cameras, images = cs[:n], ms[:n]
+        if not cameras:
+            return "no camera/image pairs"
+        if self.trainer is not None:
+            with self._step_lock:
+                self.trainer.set_dataset(cameras, images)
+            return f"dataset set: {len(cameras)} views"
+        # view-only session: bootstrap a Trainer on the live scene with the
+        # default config (sliders/config posts mutate it from the browser)
+        from webdgs_tpu.train.config import TrainerConfig
+        from webdgs_tpu.train.trainer import Trainer
+        trainer = Trainer(self.viewer.scene, cameras, images,
+                          TrainerConfig(), self.viewer.settings)
+        trainer.dataset_cameras = cameras
+        with self._state_lock:
+            self.trainer = trainer
+            self.train_error = None
+            self.training = True
+        self._start_train_thread()
+        return f"training started: {len(cameras)} views"
 
     def toggle_training(self) -> bool:
         if self.trainer is None:
@@ -599,6 +730,15 @@ def make_http_server(vs: ViewerServer, host: str, port: int):
                 body = (json.dumps({"unknown_keys": unknown}).encode()
                         if unknown else b"{}")
                 self._send(200, body, "application/json")
+            elif self.path.startswith("/upload_done"):
+                try:
+                    status = vs._assemble_dataset()
+                    self._send(200, json.dumps(
+                        {"dataset": status}).encode(), "application/json")
+                except Exception as e:  # bad pairing etc.: report, keep state
+                    self._send(400, json.dumps(
+                        {"error": f"{type(e).__name__}: {e}"}).encode(),
+                        "application/json")
             elif self.path.startswith("/upload"):
                 from urllib.parse import parse_qs, urlparse
                 q = parse_qs(urlparse(self.path).query)

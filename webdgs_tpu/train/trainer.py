@@ -506,6 +506,24 @@ class Trainer:
         return self._loss_map_fn(self.scene, cam, g["imgs"][i], w, h,
                                  self._entry_cap())
 
+    def set_dataset(self, cameras: list[CameraData],
+                    images: list[dict]) -> None:
+        """Swap the training dataset mid-session — the reference's
+        ``trainer.setDataset`` (src/trainer.ts:239-242, wired from the
+        browser file inputs at src/main.ts:419,449).  Like the reference,
+        this replaces the views and leaves the scene/optimizer/iteration
+        untouched; the next step draws from the new set.  The jitted step
+        closures take the view stacks as arguments, so no retrace is
+        needed unless the new views introduce a new resolution group."""
+        if len(cameras) != len(images):
+            raise ValueError(
+                f"cameras ({len(cameras)}) and images ({len(images)}) must "
+                "pair by index")
+        if not cameras:
+            raise ValueError("dataset must contain at least one view")
+        self.groups = _group_views(cameras, images)
+        self.dataset_cameras = cameras
+
     def resume_from(self, scene, opt_state, iteration: int) -> None:
         """Restore training state from a checkpoint (the reference cannot
         resume at all — a page reload loses everything, SURVEY.md sec 5)."""
