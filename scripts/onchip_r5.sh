@@ -37,8 +37,13 @@ tests)
         > "$DEST/tests_onchip.txt" 2>&1
     tail -3 "$DEST/tests_onchip.txt" ;;
 bench1m)
-    timeout 2400 python scripts/bench_1m.py > "$DEST/bench_1m.txt" 2>&1
-    tail -20 "$DEST/bench_1m.txt" ;;
+    : > "$DEST/bench_1m.txt"
+    for N in 1000000 2000000 4000000; do
+        echo "=== N=$N ===" >> "$DEST/bench_1m.txt"
+        WEBDGS_BENCH_N=$N timeout 2400 python scripts/bench_1m.py \
+            >> "$DEST/bench_1m.txt" 2>&1
+    done
+    tail -30 "$DEST/bench_1m.txt" ;;
 shard1)
     timeout 1800 python scripts/bench_shard1.py > "$DEST/shard1.txt" 2>&1
     tail -10 "$DEST/shard1.txt" ;;
