@@ -334,6 +334,7 @@ class ViewerServer:
         # (src/main.ts:405-458 -> trainer.setDataset)
         self._dataset_stage: dict = {"extr": None, "intr": None,
                                      "json": None, "imgs": {}}
+        self._assemble_lock = threading.Lock()
         self._train_thread: threading.Thread | None = None
         if trainer is not None:
             self._start_train_thread()
@@ -458,6 +459,13 @@ class ViewerServer:
         (the reference requires a trainer to pre-exist; here 'drop COLMAP
         files on the viewer' IS the training entry point).  Returns a
         human-readable status for the upload response."""
+        # serialize whole assemblies: two concurrent /upload_done posts
+        # must not each bootstrap a Trainer (ThreadingHTTPServer runs
+        # handlers concurrently)
+        with self._assemble_lock:
+            return self._assemble_dataset_locked()
+
+    def _assemble_dataset_locked(self) -> str:
         with self._state_lock:
             st = self._dataset_stage
             extr, intr, js = st["extr"], st["intr"], st["json"]
