@@ -106,12 +106,16 @@ def capture(trace_dir: str) -> None:
         colors=rng.uniform(0, 1, (n, 3)).astype(np.float32))
     settings = RenderSettings(chunk=128)
     cam = default_camera(w, h, position=(0.0, 0.0, -8.0))
-    target = render(scene, cam, w, h, settings).image
+    # jitted, not eager: an eager render/train_step dispatches hundreds of
+    # per-op TPU programs — ~20 min of compiles when the cache is cold
+    # (the round-5 bench.py lesson)
+    target = jax.jit(lambda sc: render(sc, cam, w, h, settings).image)(scene)
     opt = init_adam_state(scene.params())
     # entry capacity exactly like bench.py: 1.2x the observed (post-cull)
     # per-frame entry demand, so the trace ranks the ops the bench runs
-    _, _, m0 = train_step(scene, opt, cam, target, img_w=w, img_h=h,
-                          settings=settings)
+    probe = jax.jit(functools.partial(train_step, img_w=w, img_h=h,
+                                      settings=settings))
+    _, _, m0 = probe(scene, opt, cam, target)
     observed = float(m0["tile_entries"])
     cap = max(-int(-observed * 1.2 // settings.chunk) * settings.chunk,
               settings.chunk * 8)
