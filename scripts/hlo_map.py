@@ -50,7 +50,8 @@ def main():
         colors=rng.uniform(0, 1, (n, 3)).astype(np.float32))
     settings = RenderSettings(chunk=128)
     cam = default_camera(w, h, position=(0.0, 0.0, -8.0))
-    target = render(scene, cam, w, h, settings).image
+    target = jax.jit(lambda sc: render(sc, cam, w, h,
+        settings).image)(scene)
     opt = init_adam_state(scene.params())
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))

@@ -11,6 +11,7 @@ import numpy as np
 
 
 def main():
+    import jax
     import jax.numpy as jnp
 
     from webdgs_tpu.config import RenderSettings
@@ -45,7 +46,8 @@ def main():
         name, settings = entry[0], entry[1]
         cap = entry[2] if len(entry) > 2 else None
         try:
-            target = render(scene, cam, w, h, settings).image
+            target = jax.jit(lambda sc: render(sc, cam, w, h,
+                settings).image)(scene)
             opt = init_adam_state(scene.params())
             s, o, m = train_step(scene, opt, cam, target, img_w=w, img_h=h,
                                  settings=settings, entry_capacity=cap)

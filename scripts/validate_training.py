@@ -117,7 +117,8 @@ def main():
     trainer = Trainer(init, cams_data, images, cfg, settings)
 
     hold = make_camera(hold_cam)
-    img0 = render(trainer.scene, hold, w, h, settings).image
+    img0 = jax.jit(lambda sc: render(sc, hold, w, h,
+        settings).image)(trainer.scene)
     psnr0 = float(psnr(img0, jnp.asarray(hold_img["image"])))
     print(f"init: {trainer.num_points} points, held-out PSNR {psnr0:.2f} dB",
           flush=True)
@@ -126,7 +127,8 @@ def main():
     trainer.train(log_every=200)
     wall = time.time() - t0
 
-    img1 = render(trainer.scene, hold, w, h, settings).image
+    img1 = jax.jit(lambda sc: render(sc, hold, w, h,
+        settings).image)(trainer.scene)
     psnr1 = float(psnr(img1, jnp.asarray(hold_img["image"])))
     result = {
         "iters": trainer.iteration,
