@@ -228,3 +228,42 @@ def test_finite_differences_smoothed_settings():
     assert np.median(rels) < 5e-3, f"median rel err {np.median(rels):.5f}"
     assert np.mean(rels < 2e-2) >= 0.9, f"outliers: {np.sort(rels)[-4:]}"
     assert rels.max() < 0.1, f"gross mismatch {rels.max():.4f}"
+
+
+def test_segment_reduce_f16_saturates_no_inf():
+    """Round-5 on-chip divergence regression: a cotangent row beyond f16
+    max (65504) must SATURATE, not cast to inf — one inf poisons the
+    per-Gaussian sum, then Adam's moments, then the splat's position (the
+    measured failure: visible 11k -> 0 within 400 iters on chip).  The
+    reference's own fixed-point i32 accumulators saturate at +-2147 total
+    (common.wgsl:111-121)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from webdgs_tpu.config import DEFAULT_SETTINGS
+    from webdgs_tpu.ops.rasterize import segment_reduce_entries
+
+    e_cap = 16
+    rows = np.ones((e_cap, 4), np.float32)
+    rows[3] = 1e38  # far beyond f16 max
+    rows[11] = -1e38  # in the second segment
+    entry_valid = np.ones((e_cap,), bool)
+    entry_source = np.arange(e_cap, dtype=np.int32)  # identity layout
+    gauss_counts = np.array([8, 8], dtype=np.int32)
+    s16 = dataclasses.replace(DEFAULT_SETTINGS, grad_rows_f16=True)
+    out = np.asarray(segment_reduce_entries(
+        e_cap, jnp.asarray(rows), jnp.asarray(entry_valid),
+        jnp.asarray(entry_source), jnp.asarray(gauss_counts), s16))
+    assert np.isfinite(out).all(), out
+    # saturated magnitudes, correct signs
+    assert out[0, 0] > 6e4 and out[0, 0] < 1e5
+    assert out[1, 0] < -6e4 and out[1, 0] > -1e5
+    assert out.shape == (2, 4)
+    # f32 tier unaffected by the clamp
+    s32 = dataclasses.replace(DEFAULT_SETTINGS, grad_rows_f16=False)
+    out32 = np.asarray(segment_reduce_entries(
+        e_cap, jnp.asarray(rows), jnp.asarray(entry_valid),
+        jnp.asarray(entry_source), jnp.asarray(gauss_counts), s32))
+    assert out32[0, 0] > 1e37

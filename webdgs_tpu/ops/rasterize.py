@@ -809,7 +809,17 @@ def segment_reduce_entries(e_cap, rows, entry_valid, entry_source,
     slot_ids = jnp.arange(a_cap, dtype=jnp.int32)
     _, inv = jax.lax.sort((entry_source, slot_ids), num_keys=1)
     if settings.grad_rows_f16:
-        rows = rows.astype(jnp.float16)
+        # f16 saturates at 65504: without this clamp a single large
+        # cotangent row (huge splat / spiky loss pixel) casts to inf, the
+        # per-Gaussian sum goes inf, Adam's moments go NaN, and the splat
+        # teleports out of the frustum.  Exactly this divergence was
+        # measured on a real v5e chip (round 5: healthy to iter ~150,
+        # then visible 11k -> 0 by iter 275; f32 rows train clean — the
+        # CPU suite never reaches overflow scales).  Saturation is
+        # reference-class semantics: its fixed-point i32 gradient
+        # accumulators clamp at +-2147 TOTAL per gradient
+        # (common.wgsl:111-121), 30x tighter than this per-entry clamp.
+        rows = jnp.clip(rows, -65000.0, 65000.0).astype(jnp.float16)
     d_exp = rows[inv[:e_cap]]  # (E, C) in expansion (gaussian-grouped) order
 
     cum = jnp.cumsum(d_exp.astype(jnp.float32), axis=0)
