@@ -57,7 +57,9 @@ def main():
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(s, o):
         return train_step(s, o, cam, target, img_w=w, img_h=h,
-                          settings=settings, entry_capacity=786432)
+                          settings=settings,
+                          entry_capacity=int(os.environ.get(
+                              "WEBDGS_HLO_CAP", "786432")))
 
     txt = step.lower(scene, opt).compile().as_text()
     out = os.environ.get("WEBDGS_HLO_OUT")

@@ -59,6 +59,10 @@ class Binning(NamedTuple):
     # index of each sorted slot, and the per-Gaussian valid entry counts
     entry_source: jax.Array | None  # (E,) i32 or None
     gauss_counts: jax.Array | None  # (N,) i32 or None
+    # pre-sort (expansion-order) gaussian id per slot — MONOTONE along the
+    # entry axis (jnp.repeat emits gaussian-grouped runs); the Pallas
+    # segment-sum gradient reducer keys its one-hot blocks on it
+    expansion_gauss: jax.Array | None = None
     # pre-overflow-drop entry DEMAND: the sum of per-Gaussian kept counts
     # (post-cull survivors when tile_cull is on) BEFORE the e_cap budget
     # drops whole Gaussians.  total_entries saturates at <= capacity, so
@@ -470,5 +474,6 @@ def bin_splats(aux: SplatAux, img_w: int, img_h: int,
         total_entries=total_kept,
         entry_source=sorted_source,
         gauss_counts=counts if with_source else None,
+        expansion_gauss=g if with_source else None,
         expansion_entries=demand,
     )

@@ -759,14 +759,16 @@ def _gather_pack(per_gauss, entry_gauss, entry_valid):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _gather_pack_prefix(e_cap, settings, per_gauss, entry_gauss,
-                        entry_valid, entry_source, gauss_counts):
+                        entry_valid, entry_source, gauss_counts,
+                        expansion_gauss):
     return _gather_pack(per_gauss, entry_gauss, entry_valid)
 
 
 def _gather_pack_prefix_fwd(e_cap, settings, per_gauss, entry_gauss,
-                            entry_valid, entry_source, gauss_counts):
+                            entry_valid, entry_source, gauss_counts,
+                            expansion_gauss):
     out = _gather_pack(per_gauss, entry_gauss, entry_valid)
-    return out, (entry_valid, entry_source, gauss_counts)
+    return out, (entry_valid, entry_source, gauss_counts, expansion_gauss)
 
 
 def segment_reduce_entries(e_cap, rows, entry_valid, entry_source,
