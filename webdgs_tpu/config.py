@@ -133,6 +133,14 @@ class RenderSettings:
     # (src/shaders/tiled-backward.wgsl:285-297).  The per-Gaussian prefix
     # sums stay f32.  False = exact f32 gather (the oracle/gradcheck tier).
     grad_rows_f16: bool = True
+    # Accumulate per-Gaussian gradient sums with the Pallas block-matmul
+    # segment-sum kernel (ops/segsum.py) instead of the XLA
+    # convert + (E, C) cumsum + boundary-difference chain, whose every
+    # (E, C) materialization is lane-padded 16 -> 128 on TPU (8x phantom
+    # HBM traffic; ~2.3 ms of the 16.7 ms round-5 step at the bench
+    # shape).  Applies to the f16 row tier only; False restores the XLA
+    # prefix-difference path.
+    segsum_kernel: bool = True
     # Exchange packed entry rows as f16 over ICI in the gaussian-sharded
     # paths (halves all_to_all bytes: 32B -> 16B per entry + 4B key).
     # Centers are encoded tile-relative before the cast so the f16 mantissa

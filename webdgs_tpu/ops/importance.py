@@ -259,7 +259,8 @@ def view_importance_counts(scene_params, alive, sh_deg, camera: Camera,
         # (f16 row gather is exact here: counts are integers <= tile_px)
         return raster_ops.segment_reduce_entries(
             bins.capacity, entry_counts[:, None], bins.entry_valid,
-            bins.entry_source, bins.gauss_counts, settings)[:, 0]
+            bins.entry_source, bins.gauss_counts, settings,
+            bins.expansion_gauss)[:, 0]
     entry_counts = jnp.where(bins.entry_valid, entry_counts, 0.0)
     return jnp.zeros((n,), jnp.float32).at[bins.entry_gauss].add(entry_counts)
 

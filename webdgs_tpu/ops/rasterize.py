@@ -772,7 +772,8 @@ def _gather_pack_prefix_fwd(e_cap, settings, per_gauss, entry_gauss,
 
 
 def segment_reduce_entries(e_cap, rows, entry_valid, entry_source,
-                           gauss_counts, settings=None):
+                           gauss_counts, settings=None,
+                           expansion_gauss=None):
     """Per-Gaussian accumulation of per-entry values WITHOUT an XLA
     scatter-add (XLA serializes large-scale row scatters: measured 16.4 ms
     at 530k entries into 100k Gaussians vs 7.2 ms for this path).
@@ -824,6 +825,16 @@ def segment_reduce_entries(e_cap, rows, entry_valid, entry_source,
         rows = jnp.clip(rows, -65000.0, 65000.0).astype(jnp.float16)
     d_exp = rows[inv[:e_cap]]  # (E, C) in expansion (gaussian-grouped) order
 
+    if (expansion_gauss is not None and settings.grad_rows_f16
+            and settings.segsum_kernel):
+        # Pallas block-matmul segment sum (ops/segsum.py): one pass over
+        # the channel-major rows instead of the f32 convert + (E, C)
+        # cumsum + boundary gathers — each of which materializes an
+        # 8x lane-padded (E, C) array (round-5 trace: ~2.3 ms of the
+        # 16.7 ms step at the bench shape)
+        from webdgs_tpu.ops.segsum import segment_sum_rows
+        return segment_sum_rows(d_exp.T, expansion_gauss, gauss_counts)
+
     cum = jnp.cumsum(d_exp.astype(jnp.float32), axis=0)
     cum_counts = jnp.cumsum(gauss_counts)
     # cum_l[g] = prefix through the END of segment g (0 while no segment
@@ -842,16 +853,16 @@ def segment_reduce_entries(e_cap, rows, entry_valid, entry_source,
 def _gather_pack_prefix_bwd(e_cap, settings, res, g):
     """Rasterizer-cotangent accumulation per Gaussian via
     :func:`segment_reduce_entries` (the transpose of the entry gather)."""
-    entry_valid, entry_source, gauss_counts = res
+    entry_valid, entry_source, gauss_counts, expansion_gauss = res
     d_per_gauss = segment_reduce_entries(e_cap, g.T, entry_valid,
                                          entry_source, gauss_counts,
-                                         settings)
+                                         settings, expansion_gauss)
 
     def f0(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
     return (d_per_gauss, f0(entry_source), f0(entry_valid),
-            f0(entry_source), f0(gauss_counts))
+            f0(entry_source), f0(gauss_counts), f0(entry_source))
 
 
 _gather_pack_prefix.defvjp(_gather_pack_prefix_fwd, _gather_pack_prefix_bwd)
@@ -859,7 +870,8 @@ _gather_pack_prefix.defvjp(_gather_pack_prefix_fwd, _gather_pack_prefix_bwd)
 
 def pack_entry_attrs(attrs, entry_gauss, entry_valid,
                      settings: RenderSettings, entry_source=None,
-                     gauss_counts=None, expansion_capacity: int | None = None):
+                     gauss_counts=None, expansion_capacity: int | None = None,
+                     expansion_gauss=None):
     """Gather per-Gaussian SplatAttrs into chunk-aligned, depth-sorted
     per-entry rows (16, A).
 
@@ -879,7 +891,7 @@ def pack_entry_attrs(attrs, entry_gauss, entry_valid,
         assert expansion_capacity is not None
         return _gather_pack_prefix(expansion_capacity, settings, per_gauss,
                                    entry_gauss, entry_valid, entry_source,
-                                   gauss_counts)
+                                   gauss_counts, expansion_gauss)
     return _gather_pack(per_gauss, entry_gauss, entry_valid)
 
 

@@ -119,7 +119,7 @@ def _segsum_kernel(starts_ref, rows_ref, ids_ref, out_ref, scr, iscr, sem,
         _, acc = jax.lax.while_loop(
             lambda carry: carry[0] < nch, body,
             (jnp.int32(0), jnp.zeros((n_rows, b), jnp.float32)))
-        out_ref[:, i * b:(i + 1) * b] = acc
+        out_ref[:, pl.ds(i * b, b)] = acc
         return 0
 
     jax.lax.fori_loop(0, BLOCKS_PER_STEP, block_body, 0)

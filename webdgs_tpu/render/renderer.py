@@ -52,7 +52,8 @@ def render_from_attrs(attrs: SplatAttrs, aux: SplatAux, img_w: int,
     attrs16 = raster_ops.pack_entry_attrs(
         attrs, bins.entry_gauss, bins.entry_valid, settings,
         entry_source=bins.entry_source, gauss_counts=bins.gauss_counts,
-        expansion_capacity=bins.capacity)
+        expansion_capacity=bins.capacity,
+        expansion_gauss=bins.expansion_gauss)
     out = raster_ops.rasterize_tiles(attrs16, bins.tile_offsets,
                                      ntx, nty, settings,
                                      not for_grad)
