@@ -106,7 +106,7 @@ def _segsum_kernel(starts_ref, rows_ref, ids_ref, out_ref, scr, iscr, sem,
             local = jnp.where(fresh, iscr[slot] - gb * b, -1)  # (1, k)
             # one-hot in bf16 (0/1 exact); ids outside [0, b) hit no column
             oh = (col_iota == local).astype(jnp.bfloat16)  # (b, k)
-            rows = scr[slot].astype(jnp.float32)  # (16, k)
+            rows = scr[slot]  # (16, k) f32
             r_hi = rows.astype(jnp.bfloat16)
             r_lo = (rows - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             # one (32, k) pass for hi+lo halves, split on the output rows
@@ -129,13 +129,19 @@ def segment_sum_rows(rows_cm: jax.Array, ids: jax.Array,
                      gauss_counts: jax.Array) -> jax.Array:
     """Per-Gaussian sums of expansion-ordered entry rows.
 
-    rows_cm: (C, E) channel-major entry rows (f16 production tier or f32),
-    expansion order, invalid slots zero.  ids: (E,) i32 monotone Gaussian
-    id per entry slot (padding slots may repeat the last id — their rows
-    are zero).  gauss_counts: (N,) i32 entries per Gaussian.
+    rows_cm: (C, E) channel-major entry rows in expansion order, invalid
+    slots zero.  f16 input is converted to f32 HERE, in the compact
+    channel-major layout (~26 MB at the bench shape, one cheap pass) —
+    the Mosaic TPU backend has no f16 vector type, so the kernel refs
+    must be f32 (found on real hardware; interpret mode AND the
+    jax.export lowering gate both accept f16, so only an actual Mosaic
+    compile catches it).  ids: (E,) i32 monotone Gaussian id per entry
+    slot (padding slots may repeat the last id — their rows are zero).
+    gauss_counts: (N,) i32 entries per Gaussian.
 
     Returns (N, C) f32 sums.
     """
+    rows_cm = rows_cm.astype(jnp.float32)
     n_rows, e_len = rows_cm.shape
     n = gauss_counts.shape[0]
     b = BLOCK_GAUSS
