@@ -72,9 +72,11 @@ def main():
     results = {}
 
     opt = init_adam_state(scene.params())
+    # NO donation anywhere: the three variants share `scene`, and the
+    # comparison is internal (overhead identical across variants)
     plain = jax.jit(functools.partial(
         train_step, img_w=w, img_h=h, settings=settings,
-        entry_capacity=cap), donate_argnums=(0, 1))
+        entry_capacity=cap))
     dt = time_step(lambda s, o: plain(s, o, cam, target), scene, opt)
     results["plain"] = dt
 
@@ -85,8 +87,7 @@ def main():
     opt = init_adam_state(scene.params())
     dp = jax.jit(functools.partial(
         dp_train_step, mesh=mesh, img_w=w, img_h=h, settings=settings,
-        entry_capacity=cap), donate_argnums=(0, 1),
-        static_argnames=())
+        entry_capacity=cap))
     dt = time_step(lambda s, o: dp(s, o, cams1, tgts1), scene, opt)
     results["dp_1dev"] = dt
 
@@ -95,7 +96,7 @@ def main():
     opt = init_adam_state(scene.params())
     gs = jax.jit(functools.partial(
         gs_train_step, mesh=meshb, img_w=w, img_h=h, settings=settings,
-        entry_capacity=cap), donate_argnums=(0, 1))
+        entry_capacity=cap))
     dt = time_step(lambda s, o: gs(s, o, cam, target), scene, opt)
     results["gs_1dev"] = dt
 

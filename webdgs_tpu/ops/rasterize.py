@@ -810,7 +810,11 @@ def segment_reduce_entries(e_cap, rows, entry_valid, entry_source,
     # sentinel redirection is needed: invalid slots gather already-zeroed
     # rows.
     slot_ids = jnp.arange(a_cap, dtype=jnp.int32)
-    _, inv = jax.lax.sort((entry_source, slot_ids), num_keys=1)
+    # is_stable=False: entry_source is a TRUE permutation (all keys
+    # distinct), so stability cannot affect the result and the unstable
+    # sort path is cheaper
+    _, inv = jax.lax.sort((entry_source, slot_ids), num_keys=1,
+                          is_stable=False)
     if settings.grad_rows_f16:
         # f16 saturates at 65504: without this clamp a single large
         # cotangent row (huge splat / spiky loss pixel) casts to inf, the
