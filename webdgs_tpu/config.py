@@ -141,6 +141,11 @@ class RenderSettings:
     # shape).  Applies to the f16 row tier only; False restores the XLA
     # prefix-difference path.
     segsum_kernel: bool = True
+    # Run the ragged per-Gaussian expansion (counts -> per-entry ids +
+    # binning words) as the Pallas kernel in ops/expand.py instead of the
+    # XLA scatter+cummax repeat + lane-padded (E, 5) row-gather chain
+    # (~2.5 ms of the round-5 step).  False restores the XLA path.
+    expand_kernel: bool = True
     # Exchange packed entry rows as f16 over ICI in the gaussian-sharded
     # paths (halves all_to_all bytes: 32B -> 16B per entry + 4B key).
     # Centers are encoded tile-relative before the cast so the f16 mantissa

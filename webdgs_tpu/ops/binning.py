@@ -333,7 +333,6 @@ def expand_entries(aux: SplatAux, ntx: int, e_cap: int,
     # arithmetic only ever ADDS whole tile steps, i.e. multiples of 1<<16,
     # on top) and the whole per-entry chain below produces ONE output, the
     # sort key.
-    g = _repeat_ids(counts, e_cap)
     base_tile = (aux.tile_min[:, 1] * ntx
                  + aux.tile_min[:, 0]).astype(jnp.uint32)
     words = [
@@ -343,22 +342,40 @@ def expand_entries(aux: SplatAux, ntx: int, e_cap: int,
     ]
     if cull_on:
         words += [mask_lo, mask_hi]
-    fields = jnp.stack(words, axis=1)  # (N, 3 or 5)
-    ef = fields[g]  # (E, .)
+    use_kernel = settings is not None and settings.expand_kernel
+    if use_kernel:
+        # Pallas expansion (ops/expand.py): counts -> per-entry words +
+        # monotone gaussian ids in ONE pass with compact channel-major
+        # outputs — replaces the scatter+cummax repeat, the lane-padded
+        # (E, 5) row-gather, and its padded re-reads (round-5 trace:
+        # ~2.5 ms of the step at the bench shape)
+        from webdgs_tpu.ops.expand import NWORDS, expand_fields
+        while len(words) < NWORDS:
+            words.append(jnp.zeros_like(words[0]))
+        ew, g = expand_fields(jnp.stack(words, axis=0), counts, e_cap)
+        w_key, w_off, w_tx = ew[0], ew[1], ew[2]
+        w_mlo, w_mhi = ew[3], ew[4]
+    else:
+        g = _repeat_ids(counts, e_cap)
+        fields = jnp.stack(words, axis=1)  # (N, 3 or 5)
+        ef = fields[g]  # (E, .)
+        w_key, w_off, w_tx = ef[:, 0], ef[:, 1], ef[:, 2]
+        if cull_on:
+            w_mlo, w_mhi = ef[:, 3], ef[:, 4]
 
     e_idx = jnp.arange(e_cap, dtype=jnp.int32)
     valid = e_idx < total_expansion
-    slot = e_idx - ef[:, 1]
+    slot = e_idx - w_off
     if cull_on:
         # survivor slot -> original rect position via the bitmask
-        pos = _select_nth_set_bit(ef[:, 3].astype(jnp.uint32),
-                                  ef[:, 4].astype(jnp.uint32),
+        pos = _select_nth_set_bit(w_mlo.astype(jnp.uint32),
+                                  w_mhi.astype(jnp.uint32),
                                   jnp.clip(slot, 0, None))
         # large rects (identity mask, num_tiles may exceed 64): p == slot
         pos = jnp.where(slot >= CULL_POSITIONS, slot, pos)
     else:
         pos = slot
-    tiles_x = jnp.maximum(ef[:, 2], 1)  # repeat pads with the last gaussian,
+    tiles_x = jnp.maximum(w_tx, 1)  # repeat pads with the last gaussian,
     # which may have degenerate dims.  pos // tiles_x via f32 reciprocal:
     # XLA expands i32 division bit-serially on the VPU (~2.5 ms at 786k
     # entries on a v5e chip); both operands are < 2^13 (<= 2048 tiles per
@@ -369,7 +386,7 @@ def expand_entries(aux: SplatAux, ntx: int, e_cap: int,
     # the reference's combined key (tiled-forward.wgsl:133-136), without its
     # +1 tile bias: invalid entries get the all-ones key and sort last
     key = jnp.where(valid,
-                    ef[:, 0].astype(jnp.uint32)
+                    w_key.astype(jnp.uint32)
                     + ((q * ntx + r).astype(jnp.uint32) << 16),
                     jnp.uint32(0xFFFFFFFF))
     return key, g, counts, total_expansion, keep, demand
