@@ -87,7 +87,9 @@ def _expand_kernel(starts_ref, packed_ref, out_ref, wscr, oscr, rscr, sem,
         nch = jnp.where(e1 > e0, (e1 - c0 + k - 1) // k, 0)
 
         def chunk_body(c, _):
-            cs = jnp.minimum(c0 + c * k, e_len - k)
+            # genuinely 512-aligned (c0, c*k, e_len-k all are); the hint
+            # is for Mosaic's divisibility prover on the DMA slices
+            cs = pl.multiple_of(jnp.minimum(c0 + c * k, e_len - k), 128)
             e_pos = cs + lane  # (1, k) global entry positions
             # membership: cum windows, clipped to the block's own range so
             # clamped-window re-read lanes (always < e0) stay foreign
