@@ -126,13 +126,17 @@ class RenderSettings:
     tile_cull: bool = True
     # Gather the backward pass's per-entry gradient rows at f16 width in
     # the expansion-order permutation (ops/rasterize.py:
-    # segment_reduce_entries).  Row-gather cost on a v5e chip is
-    # width-bound (f16 is 3x faster at the bench shape), and f16 is the
-    # reference's own per-entry gradient precision — its backward packs
-    # every accumulated gradient into the f16 GaussianGradient buffer
-    # (src/shaders/tiled-backward.wgsl:285-297).  The per-Gaussian prefix
-    # sums stay f32.  False = exact f32 gather (the oracle/gradcheck tier).
-    grad_rows_f16: bool = True
+    # segment_reduce_entries).  Round-5 on-chip A/B (10k iters, 800x600,
+    # identical seeds): f16 costs ~1.5 dB of holdout PSNR (16.69 vs
+    # 18.28) at IDENTICAL trained-scene speed once the segsum kernel
+    # removed the downstream (E,16) traffic — so the default is the f32
+    # gather (also closer to the reference's ~1e-6-resolution fixed-point
+    # accumulators, common.wgsl:110-121, than f16's 1e-3 relative
+    # quantization).  True = the opt-in speed mode: the half-width
+    # permutation gather saves ~2 ms/step at 6-figure splat counts
+    # (clamped to +-65000 before the cast — unclamped f16 overflow
+    # DIVERGED real training, RESULTS.md round-5 capture 2).
+    grad_rows_f16: bool = False
     # Accumulate per-Gaussian gradient sums with the Pallas block-matmul
     # segment-sum kernel (ops/segsum.py) instead of the XLA
     # convert + (E, C) cumsum + boundary-difference chain, whose every

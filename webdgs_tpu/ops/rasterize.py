@@ -829,8 +829,7 @@ def segment_reduce_entries(e_cap, rows, entry_valid, entry_source,
         rows = jnp.clip(rows, -65000.0, 65000.0).astype(jnp.float16)
     d_exp = rows[inv[:e_cap]]  # (E, C) in expansion (gaussian-grouped) order
 
-    if (expansion_gauss is not None and settings.grad_rows_f16
-            and settings.segsum_kernel):
+    if expansion_gauss is not None and settings.segsum_kernel:
         # Pallas block-matmul segment sum (ops/segsum.py): one pass over
         # the channel-major rows instead of the f32 convert + (E, C)
         # cumsum + boundary gathers — each of which materializes an

@@ -25,12 +25,12 @@ The kernel consumes the gathered rows in (16, E) channel-major layout —
 compact on TPU (E on the lane axis) — and writes (16, N_pad) f32, whose
 transpose back to (N, 16) is a free bitcast for the projection VJP.
 
-Precision: input rows are f16 (the production gradient-row tier,
-grad_rows_f16); each chunk converts to f32 and hi/lo-splits into bf16, so
-the two MXU passes are exact for f16 inputs (f16 has a 10-bit mantissa;
-bf16 hi+lo carries 16+).  Accumulation is f32.  This is strictly more
-accurate than the prefix-sum-difference it replaces (no long-prefix
-cancellation).  The f32-rows oracle tier keeps the XLA path.
+Precision: rows arrive f32 (the default tier) or f16 (the opt-in
+speed tier, grad_rows_f16); each chunk hi/lo-splits into bf16, so the
+two MXU passes carry 16+ mantissa bits — exact for f16 inputs and
+~2^-16-relative for f32, strictly more accurate than the
+prefix-sum-difference this replaces (no long-prefix cancellation).
+Accumulation is f32.  segsum_kernel=False restores the XLA path.
 
 The reference accumulates the same sums with 1e-6 fixed-point atomics
 (src/shaders/common.wgsl:110-121); per-Gaussian sums here are exact f32
