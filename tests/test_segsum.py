@@ -81,3 +81,29 @@ def test_segment_reduce_kernel_matches_xla_path():
     rows_f16 = rows[np.argsort(perm)][:total].astype(np.float16)
     ref = _ref_segsum(rows_f16, exp_gauss[:total], n)
     np.testing.assert_allclose(out_on, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_segment_sum_rows_pre_split_bf16():
+    """bf16 pre-split input (the f32 tier's half-width gather route) sums
+    bit-identically to the f32 input path."""
+    rng = np.random.default_rng(11)
+    n, e_cap, cols = 300, 1024, 16
+    counts = rng.integers(0, 7, n).astype(np.int32)
+    while counts.sum() > e_cap:
+        counts[rng.integers(0, n)] = 0
+    total = int(counts.sum())
+    ids = np.repeat(np.arange(n, dtype=np.int32), counts)
+    ids = np.concatenate([ids, np.full(e_cap - total,
+                                       ids[-1] if total else 0, np.int32)])
+    rows = (rng.standard_normal((e_cap, cols)) * 3).astype(np.float32)
+    rows[total:] = 0
+    r_hi = rows.astype(jnp.bfloat16)
+    r_lo = (rows - np.asarray(r_hi, np.float32)).astype(jnp.bfloat16)
+    pre = jnp.concatenate([jnp.asarray(r_hi).T, jnp.asarray(r_lo).T], axis=0)
+    out_pre = np.asarray(segment_sum_rows(pre, jnp.asarray(ids),
+                                          jnp.asarray(counts)))
+    out_f32 = np.asarray(segment_sum_rows(jnp.asarray(rows.T),
+                                          jnp.asarray(ids),
+                                          jnp.asarray(counts)))
+    np.testing.assert_array_equal(out_pre, out_f32)
+    assert out_pre.shape == (n, cols)

@@ -827,14 +827,30 @@ def segment_reduce_entries(e_cap, rows, entry_valid, entry_source,
         # accumulators clamp at +-2147 TOTAL per gradient
         # (common.wgsl:111-121), 30x tighter than this per-entry clamp.
         rows = jnp.clip(rows, -65000.0, 65000.0).astype(jnp.float16)
+
+    use_kernel = expansion_gauss is not None and settings.segsum_kernel
+    if use_kernel and not settings.grad_rows_f16:
+        # f32 tier: split into bf16 hi/lo BEFORE the expansion-order
+        # permutation and gather the halves separately — the full-width
+        # f32 gather measured 2.8 ms/step (round-5 final trace) and
+        # row-gather cost is width-bound; the segsum kernel consumes the
+        # halves directly (its f32 branch computes this exact split
+        # in-kernel, so the sums are bit-identical)
+        from webdgs_tpu.ops.segsum import segment_sum_rows
+        r_hi = rows.astype(jnp.bfloat16)
+        r_lo = (rows - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        iv = inv[:e_cap]
+        rows_cm = jnp.concatenate([r_hi[iv].T, r_lo[iv].T], axis=0)
+        return segment_sum_rows(rows_cm, expansion_gauss, gauss_counts)
+
     d_exp = rows[inv[:e_cap]]  # (E, C) in expansion (gaussian-grouped) order
 
-    if expansion_gauss is not None and settings.segsum_kernel:
-        # Pallas block-matmul segment sum (ops/segsum.py): one pass over
-        # the channel-major rows instead of the f32 convert + (E, C)
-        # cumsum + boundary gathers — each of which materializes an
-        # 8x lane-padded (E, C) array (round-5 trace: ~2.3 ms of the
-        # 16.7 ms step at the bench shape)
+    if use_kernel:
+        # f16 tier: one half-width gather, kernel converts + splits
+        # (ops/segsum.py) — one pass over the channel-major rows instead
+        # of the f32 convert + (E, C) cumsum + boundary gathers, each of
+        # which materializes an 8x lane-padded (E, C) array (round-5
+        # trace: ~2.3 ms of the 16.7 ms step at the bench shape)
         from webdgs_tpu.ops.segsum import segment_sum_rows
         return segment_sum_rows(d_exp.T, expansion_gauss, gauss_counts)
 

@@ -54,7 +54,7 @@ BLOCKS_PER_STEP = 4  # blocks per sequential grid step (amortizes overhead)
 
 
 def _segsum_kernel(starts_ref, rows_ref, ids_ref, out_ref, scr, iscr, sem,
-                   isem, *, e_len: int, n_rows: int):
+                   isem, *, e_len: int, n_rows: int, pre_split: bool):
     b = BLOCK_GAUSS
     k = CHUNK
     pid = pl.program_id(0)
@@ -106,14 +106,22 @@ def _segsum_kernel(starts_ref, rows_ref, ids_ref, out_ref, scr, iscr, sem,
             local = jnp.where(fresh, iscr[slot] - gb * b, -1)  # (1, k)
             # one-hot in bf16 (0/1 exact); ids outside [0, b) hit no column
             oh = (col_iota == local).astype(jnp.bfloat16)  # (b, k)
-            rows = scr[slot]  # (16, k) f32
-            r_hi = rows.astype(jnp.bfloat16)
-            r_lo = (rows - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            # one (32, k) pass for hi+lo halves, split on the output rows
+            if pre_split:
+                # rows arrive as (2C, k) bf16 hi/lo halves, gathered at
+                # half width each on the XLA side (the f32-width
+                # permutation gather measured 2.8 ms/step; two bf16
+                # gathers halve it at identical precision — this split
+                # is exactly what the f32 path computes in-kernel)
+                both = scr[slot]
+            else:
+                rows = scr[slot]  # (16, k) f32
+                r_hi = rows.astype(jnp.bfloat16)
+                r_lo = (rows - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                both = jnp.concatenate([r_hi, r_lo], axis=0)
+            # one (2C, k) pass for hi+lo halves, split on the output rows
             s = jax.lax.dot_general(
-                jnp.concatenate([r_hi, r_lo], axis=0), oh,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (32, b)
+                both, oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (2C, b)
             return c + 1, acc + s[:n_rows] + s[n_rows:]
 
         _, acc = jax.lax.while_loop(
@@ -139,10 +147,17 @@ def segment_sum_rows(rows_cm: jax.Array, ids: jax.Array,
     slot (padding slots may repeat the last id — their rows are zero).
     gauss_counts: (N,) i32 entries per Gaussian.
 
+    bf16 input means PRE-SPLIT rows: (2C, E) hi/lo bf16 halves (see the
+    kernel's pre_split branch) — the sums are then bit-identical to the
+    f32 input path.
+
     Returns (N, C) f32 sums.
     """
-    rows_cm = rows_cm.astype(jnp.float32)
-    n_rows, e_len = rows_cm.shape
+    pre_split = rows_cm.dtype == jnp.bfloat16
+    if not pre_split:
+        rows_cm = rows_cm.astype(jnp.float32)
+    in_rows, e_len = rows_cm.shape
+    n_rows = in_rows // 2 if pre_split else in_rows
     n = gauss_counts.shape[0]
     b = BLOCK_GAUSS
     step_g = b * BLOCKS_PER_STEP
@@ -169,13 +184,14 @@ def segment_sum_rows(rows_cm: jax.Array, ids: jax.Array,
         out_specs=pl.BlockSpec((n_rows, step_g), lambda i, offs: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, n_rows, CHUNK), rows_cm.dtype),
+            pltpu.VMEM((2, in_rows, CHUNK), rows_cm.dtype),
             pltpu.VMEM((2, 1, CHUNK), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_segsum_kernel, e_len=e_len, n_rows=n_rows)
+    kernel = functools.partial(_segsum_kernel, e_len=e_len, n_rows=n_rows,
+                               pre_split=pre_split)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
